@@ -1,0 +1,91 @@
+"""ctypes bindings to the C++ native core (libtsq_core.so).
+
+The native core is built from csrc/ (see csrc/Makefile). Until it is built,
+``available()`` returns False and the auto backend falls back to the oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Optional
+
+_LIB: Optional[ctypes.CDLL] = None
+_SEARCHED = False
+
+
+def _find_library() -> Optional[Path]:
+    here = Path(__file__).resolve().parent.parent.parent
+    candidates = [
+        here / "build" / "libtsq_core.so",
+        here / "csrc" / "libtsq_core.so",
+        Path(os.environ.get("TSQ_CORE_LIB", "/nonexistent")),
+    ]
+    for c in candidates:
+        if c.exists():
+            return c
+    return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _SEARCHED
+    if _SEARCHED:
+        return _LIB
+    _SEARCHED = True
+    path = _find_library()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(str(path))
+    lib.tsq_compress_bound.restype = ctypes.c_uint64
+    lib.tsq_compress_bound.argtypes = [ctypes.c_uint64]
+    lib.tsq_compress_mt.restype = ctypes.c_int64
+    lib.tsq_compress_mt.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64,        # input
+        ctypes.c_char_p, ctypes.c_uint64,        # output buffer, capacity
+        ctypes.c_int, ctypes.c_uint32, ctypes.c_int,  # ext, level, n_threads
+    ]
+    lib.tsq_decompress_mt.restype = ctypes.c_int64
+    lib.tsq_decompress_mt.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.c_int,
+    ]
+    lib.tsq_decompressed_size.restype = ctypes.c_int64
+    lib.tsq_decompressed_size.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def compress(data: bytes, ext: bool = True, level: int = 0,
+             n_threads: int = 0) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    bound = lib.tsq_compress_bound(len(data))
+    out = ctypes.create_string_buffer(bound)
+    n = lib.tsq_compress_mt(data, len(data), out, bound,
+                            1 if ext else 0, level, n_threads)
+    if n < 0:
+        raise RuntimeError(f"native compress failed (code {n})")
+    return out.raw[:n]
+
+
+def decompress(stream: bytes, n_threads: int = 0) -> bytes:
+    from ..format import FormatError
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    size = lib.tsq_decompressed_size(stream, len(stream))
+    if size < 0:
+        raise FormatError(f"bad .tsq stream (code {size})")
+    out = ctypes.create_string_buffer(max(size, 1))
+    n = lib.tsq_decompress_mt(stream, len(stream), out, size, n_threads)
+    if n < 0:
+        raise FormatError(f"native decompress failed (code {n})")
+    return out.raw[:n]

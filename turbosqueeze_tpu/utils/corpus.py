@@ -1,0 +1,89 @@
+"""Deterministic synthetic corpora for tests and benchmarks.
+
+The environment has no network egress, so enwik8/enwik9 are emulated with a
+seeded Markov-ish text generator whose repetition structure (word reuse,
+phrase repeats) exercises the same code paths: literal runs, short matches,
+long matches, 64 KiB window boundaries.
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+from typing import List
+
+_WORDS = (
+    "the of and a in to is was it for as on with be by at from that his he "
+    "an are this which or had not but first one their its new after who they "
+    "two her she been other when there all during into time may more these "
+    "also world war united states city state american national government "
+    "century people between history many years over war army french german "
+    "system called general based against university following found however "
+    "[[link]] {{cite}} &amp; &lt;ref&gt; </ref> <text> </text> == === "
+).split()
+
+
+def synthetic_text(size: int, seed: int = 1234) -> bytes:
+    """Wiki-like text with heavy word/phrase repetition (enwik stand-in)."""
+    rng = random.Random(seed)
+    out = bytearray()
+    phrases: List[bytes] = []
+    while len(out) < size:
+        r = rng.random()
+        if r < 0.08 and phrases:
+            out += rng.choice(phrases)  # repeat an earlier phrase (long match)
+        else:
+            phrase = bytearray()
+            for _ in range(rng.randint(3, 12)):
+                phrase += rng.choice(_WORDS).encode()
+                phrase += b" "
+            if rng.random() < 0.1:
+                phrase += b"\n"
+            if len(phrases) < 4096:
+                phrases.append(bytes(phrase))
+            out += phrase
+    return bytes(out[:size])
+
+
+def synthetic_binary(size: int, seed: int = 99) -> bytes:
+    """Mixed structured binary: zero pages, repeating records, random spans."""
+    rng = random.Random(seed)
+    out = bytearray()
+    record = bytes(rng.randrange(256) for _ in range(64))
+    while len(out) < size:
+        r = rng.random()
+        if r < 0.25:
+            out += bytes(rng.randrange(1, 4096))
+        elif r < 0.6:
+            out += record * rng.randrange(1, 64)
+        else:
+            out += bytes(rng.randrange(256) for _ in range(rng.randrange(16, 2048)))
+    return bytes(out[:size])
+
+
+def incompressible(size: int, seed: int = 7) -> bytes:
+    """High-entropy bytes (worst case: pure literal output)."""
+    rng = random.Random(seed)
+    return rng.randbytes(size)
+
+
+def standard_cases() -> List[bytes]:
+    """Small corpus used across unit tests."""
+    text = synthetic_text(40_000)
+    return [
+        b"x",
+        b"abc",
+        b"a" * 17,
+        b"a" * 1000,
+        bytes(range(256)) * 8,
+        text[:699],
+        text,
+        incompressible(5000),
+        synthetic_binary(30_000),
+        (b"abcdefgh" * 100 + incompressible(200, seed=3)) * 3,
+        synthetic_text(70_000, seed=2) + incompressible(3000, seed=4),
+    ]
+
+
+def checksum(data: bytes) -> int:
+    return zlib.crc32(data)
