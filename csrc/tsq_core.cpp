@@ -1,0 +1,325 @@
+// Block codec implementation. Format spec: turbosqueeze_tpu/format.py and
+// reference_codec.py (upstream behavior documented at tsq_encode.cpp:48-342,
+// tsq_decode.cpp:42-315 — re-derived here, not copied).
+#include "tsq_core.h"
+
+#include <cstring>
+
+namespace tsq {
+namespace {
+
+inline uint32_t load32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;  // little-endian hosts only (x86/ARM/TPU VMs)
+}
+
+inline uint64_t load64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+
+inline uint32_t hash4(uint32_t v) { return (v ^ (v >> 12)) & kHashMask; }
+
+inline int tz_bytes(uint64_t x) {
+  return x ? __builtin_ctzll(x) >> 3 : 8;
+}
+
+// Match length k (4..64) -> 4-bit size code. k in [4,16] -> k-1;
+// [17,31] -> 15 (copy 16); [32,47] -> 0 (32); [48,63] -> 1 (48); 64 -> 2.
+inline uint32_t len_code(uint32_t k) {
+  static constexpr uint8_t kCodes[65] = {
+      0, 0, 0, 0, 3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14, 15,
+      15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15,
+      0, 0, 0, 0, 0,  0,  0,  0,  0,  0,  0,  0,  0,  0,  0,  0,
+      1, 1, 1, 1, 1,  1,  1,  1,  1,  1,  1,  1,  1,  1,  1,  1,  2};
+  return kCodes[k];
+}
+
+// Decoded/consumed width of a match size code.
+inline uint32_t code_width(uint32_t c) { return c < 3 ? (c + 2) << 4 : c + 1; }
+
+// Bitstream writer: owns the interleaved ctrl/size slot bookkeeping.
+// Control bits fill MSB-first, one per symbol; size nibbles pack two per
+// byte (first of the pair in the high nibble). Fresh ctrl slot every 8
+// symbols, fresh size slot every 2; slots are reserved in-stream at the
+// write cursor, ctrl slot first. The `anchor` snapshots the input cursor
+// after every even symbol — match offsets are relative to it.
+struct TokenSink {
+  uint8_t* out;
+  uint32_t j;
+  uint32_t ctrl_at;
+  uint32_t size_at;
+  uint32_t n_sym = 0;
+  uint32_t anchor = 0;
+  // Exclusive end of bytes actually stored so far. Reserved ctrl/size slots
+  // below this mark keep the bytes a literal over-copy deposited (part of
+  // the byte-exact contract); slots at/above it start from zero. This makes
+  // output independent of prior buffer contents without a full memset.
+  uint32_t hwm;
+
+  explicit TokenSink(uint8_t* o, uint32_t block_size) : out(o) {
+    out[0] = block_size & 0xFF;
+    out[1] = (block_size >> 8) & 0xFF;
+    out[2] = (block_size >> 16) & 0xFF;
+    j = 3;
+    hwm = 3;
+    ctrl_at = reserve();
+    size_at = reserve();
+  }
+
+  inline uint32_t reserve() {
+    if (j >= hwm) out[j] = 0;
+    return j++;
+  }
+
+  inline void account(uint32_t ctrl_bit, uint32_t nibble, uint32_t cursor) {
+    ++n_sym;
+    out[ctrl_at] = (uint8_t)((out[ctrl_at] << 1) | ctrl_bit);
+    if ((n_sym & 7) == 0) ctrl_at = reserve();
+    out[size_at] = (uint8_t)((out[size_at] << 4) | nibble);
+    if ((n_sym & 1) == 0) {
+      size_at = reserve();
+      anchor = cursor;
+    }
+  }
+
+  // Flush [from, upto) as literal runs of <=16 bytes. Always stores a full
+  // 16-byte chunk (the over-copy is part of the byte-exact contract: it can
+  // pre-fill reserved trailing slots with input bytes).
+  inline void literals(const uint8_t* in, uint32_t from, uint32_t upto) {
+    while (upto - from > 0) {
+      uint32_t run = upto - from > 16 ? 16 : upto - from;
+      std::memcpy(&out[j], &in[from], 16);
+      if (j + 16 > hwm) hwm = j + 16;
+      from += run;
+      j += run;
+      account(1, run - 1, from);
+    }
+  }
+
+  inline void match(uint32_t offset, uint32_t code, uint32_t new_cursor) {
+    out[j] = (uint8_t)(offset & 0xFF);
+    out[j + 1] = (uint8_t)(offset >> 8);
+    if (j + 2 > hwm) hwm = j + 2;
+    j += 2;
+    account(0, code, new_cursor);
+  }
+
+  // Pad the final control byte with literal bits; a half-filled size byte
+  // pads its low nibble with zero.
+  inline uint32_t finish() {
+    bool size_done = false;
+    while ((n_sym & 7) != 0) {
+      out[ctrl_at] = (uint8_t)((out[ctrl_at] << 1) | 1);
+      if (!size_done && (n_sym & 1) != 0) {
+        out[size_at] = (uint8_t)(out[size_at] << 4);
+        size_done = true;
+      }
+      ++n_sym;
+    }
+    return j;
+  }
+};
+
+// Hash probe: map the stored 16-bit position into the 64 KiB window ending
+// at i, then record i. Returns the candidate position (always < i).
+inline uint32_t probe(uint16_t* table, uint32_t h, uint32_t i) {
+  uint32_t p16 = table[h];
+  uint32_t hi = i & 0xFFFF0000u;
+  uint32_t pos = p16 >= (i & 0xFFFFu) ? p16 + hi - 65536 : p16 + hi;
+  table[h] = (uint16_t)i;
+  return pos;
+}
+
+template <bool kExt>
+uint32_t encode_impl(uint16_t* table, const uint8_t* in, uint32_t size,
+                     uint8_t* out) {
+  TokenSink sink(out, size);
+  uint32_t i = 0;
+
+  for (;;) {
+    uint32_t run_start = i;
+    uint32_t current, pos, offset;
+
+    // Scan: probe every position until a verified 4-byte match with a
+    // representable offset. Literal runs flush every 32 scanned bytes.
+    for (;;) {
+      ++i;
+      current = load32(&in[i]);
+      pos = probe(table, hash4(current), i);
+      offset = sink.anchor - pos;
+      if (i - run_start > 31) {
+        sink.literals(in, run_start, i);
+        run_start = i;
+      }
+      if (!(i < size &&
+            !(current == load32(&in[pos]) && offset - 4 < 0xFFFB)))
+        break;
+    }
+    sink.literals(in, run_start, i);
+    if (!(i < size)) break;
+
+    // Match emission, with immediate re-probe chaining.
+    for (;;) {
+      uint32_t k = (uint32_t)tz_bytes(load64(&in[i]) ^ load64(&in[pos]));
+      if (k == 8) {
+        if constexpr (kExt) {
+          uint32_t nb, m = 1;
+          do {
+            nb = (uint32_t)tz_bytes(load64(&in[i + 8 * m]) ^
+                                    load64(&in[pos + 8 * m]));
+            k += nb;
+            ++m;
+          } while (nb == 8 && k < 64);
+        } else {
+          k += (uint32_t)tz_bytes(load64(&in[i + 8]) ^ load64(&in[pos + 8]));
+        }
+      }
+
+      // The decoder copies in wide chunks; the source must end strictly
+      // before the pair anchor so every copied byte is already final.
+      uint32_t window = sink.anchor - pos;
+      if (k > window) k = window - 1;
+      if (k < 4) break;
+      offset = sink.anchor - pos;  // anchor may have moved since the probe
+      if (!(offset - 4 < 0xFFFB)) break;
+
+      uint32_t code = len_code(k);
+      i += code_width(code);
+      sink.match(offset, code, i);
+
+      current = load32(&in[i]);
+      pos = probe(table, hash4(current), i);
+      offset = sink.anchor - pos;
+      if (!((i < size - 5) && current == load32(&in[pos]) &&
+            offset - 4 < 0xFFFB))
+        break;
+    }
+    if (!(i < size)) break;
+  }
+
+  return sink.finish();
+}
+
+}  // namespace
+
+uint32_t encode_block(EncoderState& st, const uint8_t* in, uint32_t in_size,
+                      uint8_t* out, bool ext) {
+  st.reset();
+  return ext ? encode_impl<true>(st.table.data(), in, in_size, out)
+             : encode_impl<false>(st.table.data(), in, in_size, out);
+}
+
+int64_t decode_block(const uint8_t* in, size_t in_size, uint8_t* out,
+                     size_t out_capacity, bool ext) {
+  if (in_size < 5) return kErrBadPayload;
+  uint32_t size = in[0] | (in[1] << 8) | ((uint32_t)in[2] << 16);
+  if (size > kBlockSize) return kErrBlockTooBig;
+  if (out_capacity < size + 80) return kErrOutputTooSmall;
+
+  size_t i = 3;
+  uint32_t j = 0;
+  const uint32_t end = size;
+
+  // Truncation is checked once per control group against the group's
+  // worst-case consumption (1 ctrl + 4*(1 size + 16 + 16) = 133 bytes);
+  // within a group all reads are then known in-bounds given the caller's
+  // +64 read slack. Valid streams tail-pad, so over-consumption past
+  // in_size happens only inside the final group.
+  while (j < end) {
+    if (i >= in_size) return kErrTruncated;
+    uint32_t ctrl = in[i++];
+    for (int pair = 0; pair < 4; ++pair) {
+      uint32_t size_byte = in[i++];
+      const uint32_t pair_anchor = j;
+      for (int half = 0; half < 2; ++half) {
+        uint32_t nibble = half == 0 ? size_byte >> 4 : size_byte & 15;
+        bool literal = (ctrl >> (7 - pair * 2 - half)) & 1;
+        if (literal) {
+          uint32_t sz = nibble + 1;
+          std::memcpy(&out[j], &in[i], 16);
+          j += sz;
+          i += sz;
+          if (i > in_size + 48) return kErrTruncated;
+        } else {
+          uint32_t off = in[i] | (in[i + 1] << 8);
+          i += 2;
+          if (off > pair_anchor) return kErrBadPayload;
+          uint32_t src = pair_anchor - off;
+          uint32_t sz = ext && nibble < 3 ? 32 + 16 * nibble : nibble + 1;
+          // Wide copy: the encoder caps match sources strictly before the
+          // pair anchor, so every copied byte is already final and the
+          // 16..64-byte chunks below are safe and branch-free. Over-copied
+          // bytes land at >= j+sz and are overwritten by later symbols.
+          std::memcpy(&out[j], &out[src], 16);
+          if (sz > 16) {
+            std::memcpy(&out[j + 16], &out[src + 16], 16);
+            std::memcpy(&out[j + 32], &out[src + 32], 32);
+          }
+          j += sz;
+        }
+      }
+      if (j >= end) break;
+    }
+  }
+  return size;
+}
+
+size_t compress_bound(size_t in_size) {
+  size_t n_blocks = (in_size + kBlockSize - 1) / kBlockSize;
+  if (n_blocks == 0) n_blocks = 1;
+  return kContainerHeaderSize + n_blocks * (kBlockHeaderSize + kOutputSize) + 64;
+}
+
+int64_t decompressed_size(const uint8_t* in, size_t in_size) {
+  if (in_size < kContainerHeaderSize) return kErrTruncated;
+  if (std::memcmp(in, "TSQ1", 4) != 0) return kErrBadMagic;
+  uint64_t total;
+  std::memcpy(&total, in + 8, 8);
+  return (int64_t)total;
+}
+
+int64_t tokenize_block(const uint8_t* in, size_t in_size, bool ext,
+                       Token* tokens, size_t max_tokens,
+                       uint32_t* uncompressed_size) {
+  if (in_size < 5) return kErrBadPayload;
+  uint32_t size = in[0] | (in[1] << 8) | ((uint32_t)in[2] << 16);
+  if (size > kBlockSize) return kErrBlockTooBig;
+  *uncompressed_size = size;
+
+  size_t i = 3, n = 0;
+  uint32_t j = 0;
+  while (j < size) {
+    if (i >= in_size) return kErrTruncated;
+    uint32_t ctrl = in[i++];
+    for (int pair = 0; pair < 4 && j < size; ++pair) {
+      if (i >= in_size) return kErrTruncated;
+      uint32_t size_byte = in[i++];
+      const uint32_t pair_anchor = j;
+      for (int half = 0; half < 2; ++half) {
+        uint32_t nibble = half == 0 ? size_byte >> 4 : size_byte & 15;
+        bool literal = (ctrl >> (7 - pair * 2 - half)) & 1;
+        uint32_t sz, src;
+        if (literal) {
+          sz = nibble + 1;
+          src = (uint32_t)i;
+          i += sz;
+        } else {
+          uint32_t off = in[i] | (in[i + 1] << 8);
+          i += 2;
+          if (off > pair_anchor) return kErrBadPayload;
+          src = pair_anchor - off;
+          sz = ext && nibble < 3 ? 32 + 16 * nibble : nibble + 1;
+        }
+        if (n >= max_tokens) return kErrOutputTooSmall;
+        tokens[n++] = Token{j, src, (uint16_t)sz, (uint16_t)literal};
+        j += sz;
+      }
+    }
+  }
+  return (int64_t)n;
+}
+
+}  // namespace tsq

@@ -1,0 +1,92 @@
+"""Native C++ core: byte-parity vs the oracle codec, MT roundtrips, files."""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from turbosqueeze_tpu import reference_codec as rc
+from turbosqueeze_tpu.utils.corpus import synthetic_binary, synthetic_text
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="session")
+def native():
+    from turbosqueeze_tpu.runtime import native as mod
+
+    if not mod.available():
+        subprocess.run(["make", "-C", str(REPO / "csrc")], check=True)
+        mod._SEARCHED = False  # re-probe
+    assert mod.available()
+    return mod
+
+
+@pytest.mark.parametrize("ext", [False, True])
+def test_container_byte_parity_vs_oracle(native, corpus_cases, ext):
+    for n, data in enumerate(corpus_cases):
+        assert native.compress(data, ext) == rc.compress(data, ext), \
+            f"case {n} len={len(data)}"
+
+
+@pytest.mark.parametrize("ext", [False, True])
+def test_multiblock_roundtrip(native, ext):
+    data = synthetic_text(2 * (1 << 22) + 12345, seed=8)  # 3 blocks
+    stream = native.compress(data, ext)
+    assert native.decompress(stream) == data
+    # cross-backend
+    assert rc.decompress(stream) == data
+
+
+def test_empty(native):
+    assert native.decompress(native.compress(b"")) == b""
+
+
+def test_threads_deterministic(native):
+    data = synthetic_binary(6 << 20, seed=3)
+    s1 = native.compress(data, True, n_threads=1)
+    s4 = native.compress(data, True, n_threads=4)
+    assert s1 == s4
+
+
+def test_array_api(native):
+    data = np.frombuffer(synthetic_text(100_000), dtype=np.uint8)
+    comp = native.compress_array(data, ext=True)
+    out = native.decompress_array(comp)
+    assert np.array_equal(out, data)
+
+
+def test_file_roundtrip(native, tmp_path):
+    data = synthetic_text(5 << 20, seed=21)
+    src = tmp_path / "src"
+    tsq = tmp_path / "a.tsq"
+    dst = tmp_path / "dst"
+    src.write_bytes(data)
+    native.compress_file(str(src), str(tsq), ext=True)
+    native.decompress_file(str(tsq), str(dst))
+    assert dst.read_bytes() == data
+    # file bytes identical to memory API
+    assert tsq.read_bytes() == native.compress(data, True)
+
+
+def test_file_matches_golden(native, golden_harness, tmp_path):
+    """Our file container must be decodable by the upstream binary."""
+    data = synthetic_text(1 << 20, seed=31)
+    src = tmp_path / "src"
+    tsq = tmp_path / "a.tsq"
+    dst = tmp_path / "dst"
+    src.write_bytes(data)
+    native.compress_file(str(src), str(tsq), ext=False)
+    subprocess.run([str(golden_harness), "d", str(tsq), str(dst)], check=True)
+    assert dst.read_bytes() == data
+
+
+def test_corrupt_stream_errors(native):
+    data = synthetic_text(50_000)
+    stream = bytearray(native.compress(data, True))
+    with pytest.raises(Exception):
+        native.decompress(bytes(stream[: len(stream) // 2]))
+    stream[0:4] = b"XXXX"
+    with pytest.raises(Exception):
+        native.decompress(bytes(stream))

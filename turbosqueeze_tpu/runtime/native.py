@@ -61,21 +61,94 @@ def available() -> bool:
     return _load() is not None
 
 
+def _as_ptr(arr) -> ctypes.c_char_p:
+    return ctypes.cast(arr.ctypes.data, ctypes.c_char_p)
+
+
 def compress(data: bytes, ext: bool = True, level: int = 0,
              n_threads: int = 0) -> bytes:
+    import numpy as np
+
     lib = _load()
     if lib is None:
         raise RuntimeError("native core not built (run `make -C csrc`)")
     bound = lib.tsq_compress_bound(len(data))
-    out = ctypes.create_string_buffer(bound)
-    n = lib.tsq_compress_mt(data, len(data), out, bound,
+    out = np.empty(bound, dtype=np.uint8)  # no zero-fill
+    n = lib.tsq_compress_mt(data, len(data), _as_ptr(out), bound,
                             1 if ext else 0, level, n_threads)
     if n < 0:
         raise RuntimeError(f"native compress failed (code {n})")
-    return out.raw[:n]
+    return out[:n].tobytes()
+
+
+def compress_array(arr, ext: bool = True, level: int = 0,
+                   n_threads: int = 0):
+    """Compress a numpy uint8 array -> numpy uint8 array (single copy-free
+    native call; output is a trimmed view of a fresh buffer)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    bound = lib.tsq_compress_bound(arr.nbytes)
+    out = np.empty(bound, dtype=np.uint8)
+    n = lib.tsq_compress_mt(_as_ptr(arr), arr.nbytes, _as_ptr(out), bound,
+                            1 if ext else 0, level, n_threads)
+    if n < 0:
+        raise RuntimeError(f"native compress failed (code {n})")
+    return out[:n]
+
+
+def decompress_array(stream_arr, n_threads: int = 0):
+    """Decompress a numpy uint8 .tsq array -> numpy uint8 array."""
+    import numpy as np
+
+    from ..format import FormatError
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    size = lib.tsq_decompressed_size(_as_ptr(stream_arr), stream_arr.nbytes)
+    if size < 0:
+        raise FormatError(f"bad .tsq stream (code {size})")
+    out = np.empty(max(size, 1), dtype=np.uint8)
+    n = lib.tsq_decompress_mt(_as_ptr(stream_arr), stream_arr.nbytes,
+                              _as_ptr(out), size, n_threads)
+    if n < 0:
+        raise FormatError(f"native decompress failed (code {n})")
+    return out[:n]
+
+
+def compress_file(in_path: str, out_path: str, ext: bool = True,
+                  level: int = 0, n_threads: int = 0) -> int:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    lib.tsq_compress_file.restype = ctypes.c_int64
+    n = lib.tsq_compress_file(in_path.encode(), out_path.encode(),
+                              1 if ext else 0, level, n_threads)
+    if n < 0:
+        raise RuntimeError(f"native file compress failed (code {n})")
+    return n
+
+
+def decompress_file(in_path: str, out_path: str, n_threads: int = 0) -> int:
+    from ..format import FormatError
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    lib.tsq_decompress_file.restype = ctypes.c_int64
+    n = lib.tsq_decompress_file(in_path.encode(), out_path.encode(),
+                                n_threads)
+    if n < 0:
+        raise FormatError(f"native file decompress failed (code {n})")
+    return n
 
 
 def decompress(stream: bytes, n_threads: int = 0) -> bytes:
+    import numpy as np
+
     from ..format import FormatError
 
     lib = _load()
@@ -84,8 +157,9 @@ def decompress(stream: bytes, n_threads: int = 0) -> bytes:
     size = lib.tsq_decompressed_size(stream, len(stream))
     if size < 0:
         raise FormatError(f"bad .tsq stream (code {size})")
-    out = ctypes.create_string_buffer(max(size, 1))
-    n = lib.tsq_decompress_mt(stream, len(stream), out, size, n_threads)
+    out = np.empty(max(size, 1), dtype=np.uint8)
+    n = lib.tsq_decompress_mt(stream, len(stream), _as_ptr(out), size,
+                              n_threads)
     if n < 0:
         raise FormatError(f"native decompress failed (code {n})")
-    return out.raw[:n]
+    return out[:n].tobytes()
