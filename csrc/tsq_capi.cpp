@@ -44,6 +44,18 @@ int64_t tsq_encode_block(const uint8_t* in_padded, uint32_t in_size,
   return tsq::encode_block(st, in_padded, in_size, out, ext != 0);
 }
 
+void tsq_build_candidates(const uint8_t* in_padded, uint32_t in_size,
+                          int32_t* cand) {
+  tsq::build_candidates(in_padded, in_size, cand);
+}
+
+int64_t tsq_encode_block_candidates(const uint8_t* in_padded,
+                                    uint32_t in_size, const int32_t* cand,
+                                    uint8_t* out, int ext) {
+  return tsq::encode_block_candidates(in_padded, in_size, cand, out,
+                                      ext != 0);
+}
+
 int64_t tsq_decode_block(const uint8_t* in_padded, uint64_t in_size,
                          uint8_t* out, uint64_t out_capacity, int ext) {
   return tsq::decode_block(in_padded, in_size, out, out_capacity, ext != 0);

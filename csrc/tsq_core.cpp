@@ -212,6 +212,102 @@ uint32_t encode_block(EncoderState& st, const uint8_t* in, uint32_t in_size,
              : encode_impl<false>(st.table.data(), in, in_size, out);
 }
 
+void build_candidates(const uint8_t* in, uint32_t in_size, int32_t* cand) {
+  // Hash-chain pass: head[h] = most recent position with hash h, link[i] =
+  // previous same-hash position. Exact (no 16-bit aliasing), includes every
+  // position (the reference's table skips match interiors) — the host twin
+  // of kernels/encode_xla.find_candidates.
+  std::vector<int32_t> head(kHashEntries, -1);
+  for (uint32_t i = 0; i < in_size; ++i) {
+    uint32_t v = load32(&in[i]);
+    uint32_t h = hash4(v);
+    int32_t p = head[h];
+    // verify the 4 bytes (collision pruning, mirroring the device kernel)
+    cand[i] = (p >= 0 && load32(&in[p]) == v) ? p : -1;
+    head[h] = (int32_t)i;
+  }
+}
+
+namespace {
+
+// Walk the candidate chain to the nearest predecessor usable against the
+// current anchor: offset = anchor - pos must be in [4, 65534].
+inline uint32_t usable_candidate(const int32_t* cand, uint32_t i,
+                                 uint32_t anchor) {
+  int32_t p = cand[i];
+  while (p >= 0 && (uint32_t)p + 4 > anchor) p = cand[p];
+  if (p < 0 || anchor - (uint32_t)p > 65534) return UINT32_MAX;
+  return (uint32_t)p;
+}
+
+template <bool kExt>
+uint32_t encode_candidates_impl(const uint8_t* in, uint32_t size,
+                                const int32_t* cand, uint8_t* out) {
+  TokenSink sink(out, size);
+  uint32_t i = 0;
+
+  for (;;) {
+    uint32_t run_start = i;
+    uint32_t pos;
+
+    for (;;) {
+      ++i;
+      pos = i < size ? usable_candidate(cand, i, sink.anchor) : UINT32_MAX;
+      if (i - run_start > 31) {
+        sink.literals(in, run_start, i);
+        run_start = i;
+        // the anchor may have advanced past pos; re-validate
+        if (pos != UINT32_MAX)
+          pos = usable_candidate(cand, i, sink.anchor);
+      }
+      if (!(i < size) || pos != UINT32_MAX) break;
+    }
+    sink.literals(in, run_start, i);
+    if (!(i < size)) break;
+
+    for (;;) {
+      uint32_t k = (uint32_t)tz_bytes(load64(&in[i]) ^ load64(&in[pos]));
+      if (k == 8) {
+        if constexpr (kExt) {
+          uint32_t nb, m = 1;
+          do {
+            nb = (uint32_t)tz_bytes(load64(&in[i + 8 * m]) ^
+                                    load64(&in[pos + 8 * m]));
+            k += nb;
+            ++m;
+          } while (nb == 8 && k < 64);
+        } else {
+          k += (uint32_t)tz_bytes(load64(&in[i + 8]) ^ load64(&in[pos + 8]));
+        }
+      }
+      uint32_t window = sink.anchor - pos;
+      if (k > window) k = window - 1;
+      if (k < 4) break;
+
+      uint32_t offset = sink.anchor - pos;
+      uint32_t code = len_code(k);
+      i += code_width(code);
+      sink.match(offset, code, i);
+
+      if (!(i < size - 5)) break;
+      pos = usable_candidate(cand, i, sink.anchor);
+      if (pos == UINT32_MAX) break;
+    }
+    if (!(i < size)) break;
+  }
+
+  return sink.finish();
+}
+
+}  // namespace
+
+uint32_t encode_block_candidates(const uint8_t* in, uint32_t in_size,
+                                 const int32_t* cand, uint8_t* out,
+                                 bool ext) {
+  return ext ? encode_candidates_impl<true>(in, in_size, cand, out)
+             : encode_candidates_impl<false>(in, in_size, cand, out);
+}
+
 int64_t decode_block(const uint8_t* in, size_t in_size, uint8_t* out,
                      size_t out_capacity, bool ext) {
   if (in_size < 5) return kErrBadPayload;

@@ -94,6 +94,24 @@ int64_t compress_file(const char* in_path, const char* out_path, bool ext,
 int64_t decompress_file(const char* in_path, const char* out_path,
                         int n_threads);
 
+// --- Candidate-based encoding (device match finder + host emission) ---------
+//
+// TPU encode splits into: phase A on device (exact windowed predecessor
+// search, kernels/encode_xla.py) producing cand[i] = nearest j < i with the
+// same verified 4-byte window (-1 if none); phase B here: greedy emission
+// with the format's rep-anchor rules, walking the candidate chain when the
+// nearest predecessor is too close to the anchor. Compression level >= 1 on
+// the host path computes the same candidates with a hash-chain pass.
+
+// Build exact nearest-predecessor candidates on host. cand must hold
+// in_size int32s; scratch semantics match find_candidates on device.
+void build_candidates(const uint8_t* in, uint32_t in_size, int32_t* cand);
+
+// Encode one block from a candidate array. Same buffer contracts as
+// encode_block. Returns payload size.
+uint32_t encode_block_candidates(const uint8_t* in, uint32_t in_size,
+                                 const int32_t* cand, uint8_t* out, bool ext);
+
 // --- Token extraction (device feeding) --------------------------------------
 //
 // Parses one block payload into fixed-width token arrays for the TPU

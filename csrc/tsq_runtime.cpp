@@ -71,8 +71,20 @@ struct EncodeScratch {
   EncoderState state;
   std::vector<uint8_t> in;   // kBlockSize + kEncInSlack, tail kept zero
   std::vector<uint8_t> out;  // kOutputSize + 32
+  std::vector<int32_t> cand;  // candidate array, level >= 1 only
   EncodeScratch()
       : in(kBlockSize + kEncInSlack, 0), out(kOutputSize + 32, 0) {}
+
+  // Encode honoring the compression level: 0 = reference-parity hash-table
+  // parse; >= 1 = exact hash-chain candidates (better ratio, ~2x cost).
+  uint32_t encode(uint32_t bsz, bool ext, uint32_t level) {
+    if (level == 0)
+      return encode_block(state, in.data(), bsz, out.data(), ext);
+    if (cand.empty()) cand.resize(kBlockSize);
+    build_candidates(in.data(), bsz, cand.data());
+    return encode_block_candidates(in.data(), bsz, cand.data(), out.data(),
+                                   ext);
+  }
 };
 
 struct DecodeScratch {
@@ -97,7 +109,7 @@ void write_block_header(uint8_t* out, uint32_t payload, bool ext) {
 }  // namespace
 
 int64_t compress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
-                    size_t out_capacity, bool ext, uint32_t /*level*/,
+                    size_t out_capacity, bool ext, uint32_t level,
                     int n_threads) {
   size_t n_blocks = n_blocks_for(in_size);
   if (out_capacity < kContainerHeaderSize) return kErrOutputTooSmall;
@@ -119,7 +131,7 @@ int64_t compress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
     // end; zeros there pin determinism (format spec convention).
     std::memcpy(s.in.data(), in + off, bsz);
     std::memset(s.in.data() + bsz, 0, kEncInSlack);
-    uint32_t psz = encode_block(s.state, s.in.data(), bsz, s.out.data(), ext);
+    uint32_t psz = s.encode(bsz, ext, level);
     results[b].assign(s.out.data(), s.out.data() + psz);
     return true;
   });
@@ -257,8 +269,9 @@ int64_t compress_file(const char* in_path, const char* out_path, bool ext,
     parallel_blocks(batch, n_threads, [&](int t, size_t k) {
       EncodeScratch& s = *scratch[t];
       uint32_t bsz = (uint32_t)(inputs[k].size() - kEncInSlack);
-      uint32_t psz =
-          encode_block(s.state, inputs[k].data(), bsz, s.out.data(), ext);
+      std::memcpy(s.in.data(), inputs[k].data(), bsz);
+      std::memset(s.in.data() + bsz, 0, kEncInSlack);
+      uint32_t psz = s.encode(bsz, ext, level);
       outputs[k].resize(kBlockHeaderSize + psz);
       write_block_header(outputs[k].data(), psz, ext);
       std::memcpy(outputs[k].data() + kBlockHeaderSize, s.out.data(), psz);
@@ -275,7 +288,6 @@ int64_t compress_file(const char* in_path, const char* out_path, bool ext,
 
   std::fclose(fi);
   std::fclose(fo);
-  (void)level;
   return status == 0 ? (int64_t)written : status;
 }
 

@@ -9,12 +9,20 @@ import subprocess
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient platform (the dev box exports
+# JAX_PLATFORMS=axon for the tunneled TPU, and its sitecustomize imports
+# jax at interpreter start, freezing the env-var default — so override the
+# live config instead). Set TSQ_TEST_TPU=1 to run against real devices.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if not os.environ.get("TSQ_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

@@ -61,16 +61,19 @@ def test_async_chaining(payloads):
         done.set()
 
     submitted = threading.Event()
+    chained = threading.Event()
 
     def stage2(jobid, success):
         assert success
         submitted.wait(30)  # the callback may outrun submit() returning
         result["dec"] = eng.submit_decompress(result["comp"].result(30),
                                               on_complete=stage3)
+        chained.set()
 
     result["comp"] = eng.submit_compress(payloads[2], on_complete=stage2)
     submitted.set()
     assert done.wait(timeout=30)
+    assert chained.wait(timeout=30)
     assert result["dec"].result(timeout=30) == payloads[2]
     eng.close()
 

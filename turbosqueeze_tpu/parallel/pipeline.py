@@ -1,0 +1,186 @@
+"""Sharded multi-block engine: the TPU backend for compress/decompress.
+
+This is the TPU-native re-expression of the upstream reader/workers/writer
+thread pipeline (tsq_threads.cpp): blocks are the data-parallel axis,
+sharded over the mesh; ordered host-side assembly replaces the writer
+thread's global block-order drain (tsq_threads.cpp:195-199).
+
+Decode: host parses per-block headers + tokens (a serial 3-byte scan plus a
+cheap token walk), ships payload words + packed tokens to the device mesh,
+and the Pallas reconstruction kernel (kernels/decode_tokens.py) does all
+byte movement on-chip. Decoded blocks stay on device as word arrays for
+device consumers (`decompress_to_device`) or gather back to host bytes.
+
+Encode: the device mesh runs the exact windowed predecessor search
+(kernels/encode_xla.py) over the sharded block batch; the host walks
+candidate chains and emits tokens with the format's anchor rules (native
+core). This is the `level>=1` parse — it compresses at least as well as the
+reference's lossy hash table in practice (see bench).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..format import (
+    BLOCK_SZ,
+    ContainerHeader,
+    pack_block_header,
+    scan_block_table,
+    split_blocks,
+)
+from ..kernels import decode_tokens as DK
+from ..kernels import encode_xla
+from . import mesh as mesh_mod
+
+
+# --- sharded device programs -------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _sharded_decode(mesh: Mesh, interpret: bool = False):
+    """jit(shard_map(decode kernel)) over the block axis."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+
+    @functools.partial(jax.jit, static_argnums=())
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=spec, check_vma=False)
+    def run(payload_words, tok_a, tok_b):
+        return DK.decode_tokens_batch(payload_words, tok_a, tok_b,
+                                      interpret=interpret)
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_candidates(mesh: Mesh):
+    """jit(shard_map(find_candidates)) over the block axis."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec,), out_specs=spec, check_vma=False)
+    def run(blocks_i32):
+        return jax.vmap(encode_xla.find_candidates)(blocks_i32)
+
+    return run
+
+
+# --- decompress ----------------------------------------------------------------
+
+def _tokenize_all(stream: bytes, table) -> Tuple[list, int]:
+    from ..runtime import native
+
+    parsed = []
+    max_tokens = 1
+    for off, psz, ext in table:
+        payload = stream[off:off + psz]
+        dst, src, ln, lit, size = native.tokenize_block(payload, ext)
+        parsed.append((payload, dst, src, ln, lit, size))
+        max_tokens = max(max_tokens, len(dst))
+    return parsed, max_tokens
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def decompress_to_words(stream: bytes, mesh: Optional[Mesh] = None,
+                        interpret: bool = False):
+    """Decode a .tsq container on the mesh; returns (words, sizes, header).
+
+    words: (B, OUT_ROWS, 128) i32, sharded over the mesh block axis; block b
+    holds its decoded bytes in row-major little-endian words. B is padded to
+    a multiple of the device count with no-op blocks.
+    """
+    if mesh is None:
+        mesh = mesh_mod.block_mesh()
+    # Pallas TPU kernels run interpreted on CPU backends (virtual-device
+    # testing, SURVEY.md §4); on TPU they compile via Mosaic.
+    interpret = interpret or jax.default_backend() == "cpu"
+    hdr, table = scan_block_table(stream)
+    parsed, max_tokens = _tokenize_all(stream, table)
+
+    n = len(parsed)
+    n_dev = mesh.devices.size
+    B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+    # bucket the chunk count to limit recompiles across batches
+    n_chunks = _round_up(DK.n_chunks_for_tokens(max_tokens), 64)
+
+    payload_words = np.zeros((B, DK.PAY_ROWS, DK.LANES), dtype=np.int32)
+    tok_a = np.zeros((B, n_chunks, DK._SLOT_ROWS, DK.LANES), dtype=np.int32)
+    tok_b = np.zeros_like(tok_a)
+    sizes = []
+    for b, (payload, dst, src, ln, lit, size) in enumerate(parsed):
+        payload_words[b] = DK.pack_payload_words(payload)
+        a_c, b_c = DK.pack_tokens(dst, src, ln, lit, n_chunks)
+        tok_a[b], tok_b[b] = a_c, b_c
+        sizes.append(size)
+
+    sharding = mesh_mod.block_sharding(mesh)
+    args = [jax.device_put(x, sharding) for x in (payload_words, tok_a, tok_b)]
+    words = _sharded_decode(mesh, interpret)(*args)
+    return words, sizes, hdr
+
+
+def decompress(stream: bytes, mesh: Optional[Mesh] = None,
+               interpret: bool = False) -> bytes:
+    """Full device decode -> ordered host assembly (the writer-thread role)."""
+    from ..format import FormatError
+
+    words, sizes, hdr = decompress_to_words(stream, mesh, interpret)
+    host = np.asarray(words)  # ordered all-gather to host
+    parts: List[bytes] = []
+    for b, size in enumerate(sizes):
+        parts.append(host[b].reshape(-1).view("<u1")[:size].tobytes())
+    out = b"".join(parts)
+    if len(out) != hdr.total_size:
+        raise FormatError(
+            f"decoded {len(out)} bytes, container declares {hdr.total_size}")
+    return out
+
+
+# --- compress ------------------------------------------------------------------
+
+def compress(data: bytes, ext: bool = True, level: int = 1,
+             mesh: Optional[Mesh] = None) -> bytes:
+    """Device candidate search + host emission -> .tsq container.
+
+    ``level`` is accepted for parity; the device path always uses the
+    candidate parse (it IS the level>=1 parse).
+    """
+    from ..runtime import native
+
+    blocks = split_blocks(data)
+    if not blocks:
+        return ContainerHeader(0, 0).pack()
+    if mesh is None:
+        mesh = mesh_mod.block_mesh()
+
+    n = len(blocks)
+    n_dev = mesh.devices.size
+    B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+    batch = np.zeros((B, BLOCK_SZ + 4), dtype=np.int32)
+    for b, blk in enumerate(blocks):
+        arr = np.frombuffer(blk, dtype=np.uint8)
+        batch[b, :len(arr)] = arr
+
+    sharding = mesh_mod.block_sharding(mesh)
+    cands = _sharded_candidates(mesh)(
+        jax.device_put(batch[:, :BLOCK_SZ], sharding))
+    cands_host = np.asarray(cands)
+
+    parts = [ContainerHeader(n, len(data)).pack()]
+    for b, blk in enumerate(blocks):
+        payload = native.encode_block_candidates(
+            blk, cands_host[b, :len(blk)], ext)
+        parts.append(pack_block_header(len(payload), ext))
+        parts.append(payload)
+    return b"".join(parts)

@@ -277,6 +277,47 @@ def decode_block(payload: bytes, ext: bool) -> bytes:
     return bytes(out[GUARD:GUARD + size])
 
 
+def tokenize_block(payload: bytes, ext: bool):
+    """Parse a block payload into token arrays (pure Python twin of the
+    native tokenizer; used where the C core isn't built, e.g. compile-check
+    entry points). Returns (dst, src, len, lit lists, uncompressed size)."""
+    if len(payload) < 3:
+        raise FormatError("payload too short")
+    size = payload[0] | (payload[1] << 8) | (payload[2] << 16)
+    if size > BLOCK_SZ:
+        raise FormatError("declared block size too large")
+    inp = bytes(payload) + bytes(32)
+    dst, src, lns, lit = [], [], [], []
+    i = 3
+    j = 0
+    while j < size:
+        if i >= len(payload):
+            raise FormatError("token stream truncated")
+        control = inp[i]; i += 1
+        for pair in range(4):
+            if j >= size:
+                break
+            size_byte = inp[i]; i += 1
+            anchor = j
+            for half in range(2):
+                nibble = (size_byte >> 4) if half == 0 else (size_byte & 15)
+                if control & (1 << (7 - pair * 2 - half)):
+                    sz = nibble + 1
+                    dst.append(j); src.append(i); lns.append(sz); lit.append(1)
+                    i += sz
+                else:
+                    off = inp[i] | (inp[i + 1] << 8)
+                    i += 2
+                    if off > anchor:
+                        raise FormatError("match offset underruns block")
+                    sz = ((32, 48, 64)[nibble] if ext and nibble < 3
+                          else nibble + 1)
+                    dst.append(j)
+                    src.append(anchor - off); lns.append(sz); lit.append(0)
+                j += lns[-1]
+    return dst, src, lns, lit, size
+
+
 # --- Whole-stream helpers (single-threaded file codec equivalent,
 # --- turbosqueeze.cpp:48-147) ------------------------------------------------
 

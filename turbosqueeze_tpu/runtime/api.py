@@ -46,10 +46,10 @@ def compress(data: bytes, ext: bool = True, backend: str = "auto",
     if b == "native":
         from . import native
 
-        return native.compress(data, ext)
+        return native.compress(data, ext, level=level)
     from ..parallel import pipeline
 
-    return pipeline.compress(data, ext)
+    return pipeline.compress(data, ext, level=level)
 
 
 def decompress(stream: bytes, backend: str = "auto") -> bytes:

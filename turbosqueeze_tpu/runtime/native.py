@@ -53,8 +53,81 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.tsq_decompressed_size.restype = ctypes.c_int64
     lib.tsq_decompressed_size.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+    lib.tsq_tokenize_block.restype = ctypes.c_int64
+    lib.tsq_tokenize_block.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.tsq_build_candidates.restype = None
+    lib.tsq_build_candidates.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint32, ctypes.c_void_p]
+    lib.tsq_encode_block_candidates.restype = ctypes.c_int64
+    lib.tsq_encode_block_candidates.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int]
     _LIB = lib
     return _LIB
+
+
+def build_candidates(block: bytes):
+    """Host hash-chain candidate array for one block (int32, -1 = none)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    cand = np.empty(len(block), dtype=np.int32)
+    lib.tsq_build_candidates(block + bytes(8), len(block), cand.ctypes.data)
+    return cand
+
+
+def encode_block_candidates(block: bytes, cand, ext: bool) -> bytes:
+    """Greedy emission from a candidate array -> one block payload."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    cand = np.ascontiguousarray(cand, dtype=np.int32)
+    if len(cand) != len(block):
+        raise ValueError("candidate array length must equal block length")
+    out = np.empty((1 << 22) + (1 << 20) + 64, dtype=np.uint8)
+    psz = lib.tsq_encode_block_candidates(
+        block + bytes(80), len(block), cand.ctypes.data, out.ctypes.data,
+        1 if ext else 0)
+    if psz < 0:
+        raise RuntimeError(f"candidate emission failed (code {psz})")
+    return out[:psz].tobytes()
+
+
+def tokenize_block(payload: bytes, ext: bool):
+    """Parse one block payload into token arrays (dst, src, len, lit) plus
+    the uncompressed size. Phase A of the TPU decode path."""
+    import numpy as np
+
+    from ..format import FormatError
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    padded = payload + bytes(64)
+    # worst case ~1 token / 4 output bytes, plus tail slack
+    max_tokens = (1 << 20) + 64
+    dst = np.empty(max_tokens, dtype=np.uint32)
+    src = np.empty(max_tokens, dtype=np.uint32)
+    ln = np.empty(max_tokens, dtype=np.uint16)
+    lit = np.empty(max_tokens, dtype=np.uint8)
+    size = ctypes.c_uint32(0)
+    n = lib.tsq_tokenize_block(
+        padded, len(payload), 1 if ext else 0,
+        dst.ctypes.data, src.ctypes.data, ln.ctypes.data, lit.ctypes.data,
+        max_tokens, ctypes.byref(size))
+    if n < 0:
+        raise FormatError(f"tokenize failed (code {n})")
+    return (dst[:n].astype(np.int32), src[:n].astype(np.int32),
+            ln[:n].astype(np.int32), lit[:n].astype(np.int32),
+            int(size.value))
 
 
 def available() -> bool:
