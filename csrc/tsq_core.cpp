@@ -59,7 +59,12 @@ struct TokenSink {
   // output independent of prior buffer contents without a full memset.
   uint32_t hwm;
 
-  explicit TokenSink(uint8_t* o, uint32_t block_size) : out(o) {
+  // `anchor0` seats the anchor in the input coordinate system: 0 for plain
+  // blocks, dict_len when the block is parsed with dictionary context (the
+  // decoder's rep_last_j stays block-relative; offsets are computed against
+  // anchor in the same coordinates as match positions).
+  explicit TokenSink(uint8_t* o, uint32_t block_size, uint32_t anchor0 = 0)
+      : out(o), anchor(anchor0) {
     out[0] = block_size & 0xFF;
     out[1] = (block_size >> 8) & 0xFF;
     out[2] = (block_size >> 16) & 0xFF;
@@ -240,11 +245,18 @@ inline uint32_t usable_candidate(const int32_t* cand, uint32_t i,
   return (uint32_t)p;
 }
 
+// Greedy emission over [base, base+size) of a (possibly dict-prefixed)
+// buffer; `base` = dictionary length (0 for plain blocks). All cursors and
+// candidate positions are in buffer coordinates; the anchor starts at
+// `base`, which keeps offsets identical to the decoder's block-relative
+// rep_last_j arithmetic.
 template <bool kExt>
-uint32_t encode_candidates_impl(const uint8_t* in, uint32_t size,
-                                const int32_t* cand, uint8_t* out) {
-  TokenSink sink(out, size);
-  uint32_t i = 0;
+uint32_t encode_candidates_impl(const uint8_t* in, uint32_t base,
+                                uint32_t size, const int32_t* cand,
+                                uint8_t* out) {
+  TokenSink sink(out, size, base);
+  const uint32_t end = base + size;
+  uint32_t i = base;
 
   for (;;) {
     uint32_t run_start = i;
@@ -252,7 +264,7 @@ uint32_t encode_candidates_impl(const uint8_t* in, uint32_t size,
 
     for (;;) {
       ++i;
-      pos = i < size ? usable_candidate(cand, i, sink.anchor) : UINT32_MAX;
+      pos = i < end ? usable_candidate(cand, i, sink.anchor) : UINT32_MAX;
       if (i - run_start > 31) {
         sink.literals(in, run_start, i);
         run_start = i;
@@ -260,10 +272,10 @@ uint32_t encode_candidates_impl(const uint8_t* in, uint32_t size,
         if (pos != UINT32_MAX)
           pos = usable_candidate(cand, i, sink.anchor);
       }
-      if (!(i < size) || pos != UINT32_MAX) break;
+      if (!(i < end) || pos != UINT32_MAX) break;
     }
     sink.literals(in, run_start, i);
-    if (!(i < size)) break;
+    if (!(i < end)) break;
 
     for (;;) {
       uint32_t k = (uint32_t)tz_bytes(load64(&in[i]) ^ load64(&in[pos]));
@@ -289,11 +301,11 @@ uint32_t encode_candidates_impl(const uint8_t* in, uint32_t size,
       i += code_width(code);
       sink.match(offset, code, i);
 
-      if (!(i < size - 5)) break;
+      if (!(i < end - 5)) break;
       pos = usable_candidate(cand, i, sink.anchor);
       if (pos == UINT32_MAX) break;
     }
-    if (!(i < size)) break;
+    if (!(i < end)) break;
   }
 
   return sink.finish();
@@ -304,20 +316,36 @@ uint32_t encode_candidates_impl(const uint8_t* in, uint32_t size,
 uint32_t encode_block_candidates(const uint8_t* in, uint32_t in_size,
                                  const int32_t* cand, uint8_t* out,
                                  bool ext) {
-  return ext ? encode_candidates_impl<true>(in, in_size, cand, out)
-             : encode_candidates_impl<false>(in, in_size, cand, out);
+  return ext ? encode_candidates_impl<true>(in, 0, in_size, cand, out)
+             : encode_candidates_impl<false>(in, 0, in_size, cand, out);
 }
 
-int64_t decode_block(const uint8_t* in, size_t in_size, uint8_t* out,
-                     size_t out_capacity, bool ext) {
+uint32_t encode_block_dict(const uint8_t* concat, uint32_t dict_len,
+                           uint32_t in_size, const int32_t* cand,
+                           uint8_t* out, bool ext) {
+  return ext
+             ? encode_candidates_impl<true>(concat, dict_len, in_size, cand,
+                                            out)
+             : encode_candidates_impl<false>(concat, dict_len, in_size, cand,
+                                             out);
+}
+
+namespace {
+
+// `base` bytes of already-valid context (the preset dictionary) sit at
+// out[0, base); decoding appends at out[base, base+size). Match reads at
+// positions below `base` hit the dictionary, exactly the guard-region
+// mechanism the upstream decoder reserves (turbosqueeze.cpp:128-136).
+int64_t decode_impl(const uint8_t* in, size_t in_size, uint8_t* out,
+                    size_t out_capacity, bool ext, uint32_t base) {
   if (in_size < 5) return kErrBadPayload;
   uint32_t size = in[0] | (in[1] << 8) | ((uint32_t)in[2] << 16);
   if (size > kBlockSize) return kErrBlockTooBig;
-  if (out_capacity < size + 80) return kErrOutputTooSmall;
+  if (out_capacity < base + size + 80) return kErrOutputTooSmall;
 
   size_t i = 3;
-  uint32_t j = 0;
-  const uint32_t end = size;
+  uint32_t j = base;
+  const uint32_t end = base + size;
 
   // Truncation is checked once per control group against the group's
   // worst-case consumption (1 ctrl + 4*(1 size + 16 + 16) = 133 bytes);
@@ -361,6 +389,22 @@ int64_t decode_block(const uint8_t* in, size_t in_size, uint8_t* out,
     }
   }
   return size;
+}
+
+}  // namespace
+
+int64_t decode_block(const uint8_t* in, size_t in_size, uint8_t* out,
+                     size_t out_capacity, bool ext) {
+  return decode_impl(in, in_size, out, out_capacity, ext, 0);
+}
+
+int64_t decode_block_dict(const uint8_t* in, size_t in_size,
+                          const uint8_t* dict, uint32_t dict_len,
+                          uint8_t* out, size_t out_capacity, bool ext) {
+  if (dict_len > kMaxDict) return kErrBadPayload;
+  if (out_capacity < dict_len) return kErrOutputTooSmall;
+  std::memcpy(out, dict, dict_len);
+  return decode_impl(in, in_size, out, out_capacity, ext, dict_len);
 }
 
 size_t compress_bound(size_t in_size) {

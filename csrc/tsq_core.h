@@ -112,6 +112,42 @@ void build_candidates(const uint8_t* in, uint32_t in_size, int32_t* cand);
 uint32_t encode_block_candidates(const uint8_t* in, uint32_t in_size,
                                  const int32_t* cand, uint8_t* out, bool ext);
 
+// --- Preset dictionary (framework extension) ---------------------------------
+//
+// The upstream decoder reserves a 64 KiB guard region before each block and
+// notes it "could be used to store a pre-determined dictionary"
+// (turbosqueeze.cpp:128-135) but never implements it. Here it is: up to
+// 64 KiB of shared context virtually preceding every block. Match offsets
+// may then reach back into the dictionary (position < 0 relative to the
+// block). The on-disk format is unchanged; both ends must supply the same
+// dictionary (zstd-style out-of-band contract), so dict-compressed streams
+// are NOT decodable by the upstream binary.
+constexpr uint32_t kMaxDict = 65536 - 4;
+
+// Encode with dictionary context. `concat` holds dict_len dictionary bytes
+// followed by in_size block bytes (padded +kEncInSlack zeros); `cand` was
+// built over the whole concat buffer (build_candidates). Uses the candidate
+// parse (the level>=1 path). Returns payload size.
+uint32_t encode_block_dict(const uint8_t* concat, uint32_t dict_len,
+                           uint32_t in_size, const int32_t* cand,
+                           uint8_t* out, bool ext);
+
+// Decode with dictionary context. `out` needs capacity for
+// dict_len + declared size + kDecOutSlack; on success the decoded block
+// starts at out + dict_len (the dictionary is staged before it).
+int64_t decode_block_dict(const uint8_t* in, size_t in_size,
+                          const uint8_t* dict, uint32_t dict_len,
+                          uint8_t* out, size_t out_capacity, bool ext);
+
+// Whole-container dict variants (memory to memory).
+int64_t compress_mt_dict(const uint8_t* in, size_t in_size,
+                         const uint8_t* dict, uint32_t dict_len,
+                         uint8_t* out, size_t out_capacity, bool ext,
+                         int n_threads);
+int64_t decompress_mt_dict(const uint8_t* in, size_t in_size,
+                           const uint8_t* dict, uint32_t dict_len,
+                           uint8_t* out, size_t out_capacity, int n_threads);
+
 // --- Token extraction (device feeding) --------------------------------------
 //
 // Parses one block payload into fixed-width token arrays for the TPU

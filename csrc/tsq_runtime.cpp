@@ -218,6 +218,128 @@ int64_t decompress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
   return (int64_t)total;
 }
 
+// --- Dictionary container codec (framework extension) -------------------------
+
+int64_t compress_mt_dict(const uint8_t* in, size_t in_size,
+                         const uint8_t* dict, uint32_t dict_len,
+                         uint8_t* out, size_t out_capacity, bool ext,
+                         int n_threads) {
+  if (dict_len == 0 || dict_len > kMaxDict) return kErrBadPayload;
+  size_t n_blocks = n_blocks_for(in_size);
+  if (out_capacity < kContainerHeaderSize) return kErrOutputTooSmall;
+  write_header(out, (uint32_t)n_blocks, in_size);
+  if (n_blocks == 0) return kContainerHeaderSize;
+
+  struct DictScratch {
+    std::vector<uint8_t> concat;
+    std::vector<int32_t> cand;
+    std::vector<uint8_t> out;
+    DictScratch()
+        : concat(kMaxDict + kBlockSize + kEncInSlack, 0),
+          cand(kMaxDict + kBlockSize),
+          out(kOutputSize + 32, 0) {}
+  };
+  int T = pool_size(n_threads);
+  std::vector<std::unique_ptr<DictScratch>> scratch;
+  for (int t = 0; t < T; ++t) scratch.emplace_back(new DictScratch());
+
+  std::vector<std::vector<uint8_t>> results(n_blocks);
+  bool ok = parallel_blocks(n_blocks, n_threads, [&](int t, size_t b) {
+    DictScratch& s = *scratch[t];
+    size_t off = b * (size_t)kBlockSize;
+    uint32_t bsz = (uint32_t)std::min<size_t>(kBlockSize, in_size - off);
+    std::memcpy(s.concat.data(), dict, dict_len);
+    std::memcpy(s.concat.data() + dict_len, in + off, bsz);
+    std::memset(s.concat.data() + dict_len + bsz, 0, kEncInSlack);
+    build_candidates(s.concat.data(), dict_len + bsz, s.cand.data());
+    uint32_t psz = encode_block_dict(s.concat.data(), dict_len, bsz,
+                                     s.cand.data(), s.out.data(), ext);
+    results[b].assign(s.out.data(), s.out.data() + psz);
+    return true;
+  });
+  if (!ok) return kErrBadPayload;
+
+  size_t w = kContainerHeaderSize;
+  for (size_t b = 0; b < n_blocks; ++b) {
+    size_t psz = results[b].size();
+    if (w + kBlockHeaderSize + psz > out_capacity) return kErrOutputTooSmall;
+    write_block_header(out + w, (uint32_t)psz, ext);
+    w += kBlockHeaderSize;
+    std::memcpy(out + w, results[b].data(), psz);
+    w += psz;
+  }
+  return (int64_t)w;
+}
+
+int64_t decompress_mt_dict(const uint8_t* in, size_t in_size,
+                           const uint8_t* dict, uint32_t dict_len,
+                           uint8_t* out, size_t out_capacity, int n_threads) {
+  if (dict_len == 0 || dict_len > kMaxDict) return kErrBadPayload;
+  if (in_size < kContainerHeaderSize) return kErrTruncated;
+  if (std::memcmp(in, "TSQ1", 4) != 0) return kErrBadMagic;
+  uint32_t n_blocks;
+  uint64_t total;
+  std::memcpy(&n_blocks, in + 4, 4);
+  std::memcpy(&total, in + 8, 8);
+  if (out_capacity < total) return kErrOutputTooSmall;
+
+  struct Entry {
+    size_t off;
+    uint32_t size;
+    bool ext;
+  };
+  std::vector<Entry> table(n_blocks);
+  size_t off = kContainerHeaderSize;
+  for (uint32_t b = 0; b < n_blocks; ++b) {
+    if (off + kBlockHeaderSize > in_size) return kErrTruncated;
+    uint32_t w = in[off] | (in[off + 1] << 8) | ((uint32_t)in[off + 2] << 16);
+    uint32_t psz = w & kPayloadMask;
+    off += kBlockHeaderSize;
+    if (off + psz > in_size) return kErrTruncated;
+    table[b] = {off, psz, (w & kExtFlag) != 0};
+    off += psz;
+  }
+
+  struct DictDecScratch {
+    std::vector<uint8_t> out;
+    std::vector<uint8_t> in;
+    DictDecScratch() : out(kMaxDict + kBlockSize + kDecOutSlack) {}
+  };
+  int T = pool_size(n_threads);
+  std::vector<std::unique_ptr<DictDecScratch>> scratch;
+  for (int t = 0; t < T; ++t) scratch.emplace_back(new DictDecScratch());
+  std::atomic<int64_t> err{0};
+  std::atomic<uint64_t> produced{0};
+
+  parallel_blocks(n_blocks, n_threads, [&](int t, size_t b) {
+    DictDecScratch& s = *scratch[t];
+    const Entry& e = table[b];
+    const uint8_t* payload = in + e.off;
+    if (e.off + e.size + kDecInSlack > in_size) {
+      s.in.assign(payload, payload + e.size);
+      s.in.resize(e.size + kDecInSlack, 0);
+      payload = s.in.data();
+    }
+    int64_t r = decode_block_dict(payload, e.size, dict, dict_len,
+                                  s.out.data(), s.out.size(), e.ext);
+    if (r < 0) {
+      err.store(r);
+      return false;
+    }
+    size_t dst = b * (size_t)kBlockSize;
+    if (dst + (uint64_t)r > total) {
+      err.store(kErrBadPayload);
+      return false;
+    }
+    std::memcpy(out + dst, s.out.data() + dict_len, (size_t)r);
+    produced.fetch_add((uint64_t)r);
+    return true;
+  });
+  if (err.load() != 0) return err.load();
+  if (produced.load() != total) return kErrBadPayload;
+  return (int64_t)total;
+}
+
 // --- File streaming ----------------------------------------------------------
 
 int64_t compress_file(const char* in_path, const char* out_path, bool ext,

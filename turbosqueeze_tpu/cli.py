@@ -22,13 +22,19 @@ def _human(n: float) -> str:
     return f"{n / 1e6:,.1f} MB"
 
 
+def _read_dict(args):
+    if getattr(args, "dict", None):
+        return open(args.dict, "rb").read()
+    return None
+
+
 def cmd_compress(args) -> int:
     from .runtime.api import compress
 
     t0 = time.perf_counter()
     data = open(args.input, "rb").read()
     stream = compress(data, ext=not args.no_ext, backend=args.backend,
-                      level=args.level)
+                      level=args.level, dictionary=_read_dict(args))
     with open(args.output, "wb") as f:
         f.write(stream)
     dt = time.perf_counter() - t0
@@ -43,7 +49,8 @@ def cmd_decompress(args) -> int:
 
     t0 = time.perf_counter()
     stream = open(args.input, "rb").read()
-    data = decompress(stream, backend=args.backend)
+    data = decompress(stream, backend=args.backend,
+                      dictionary=_read_dict(args))
     with open(args.output, "wb") as f:
         f.write(data)
     dt = time.perf_counter() - t0
@@ -132,12 +139,16 @@ def main(argv=None) -> int:
     pc.add_argument("output")
     pc.add_argument("--no-ext", action="store_true")
     pc.add_argument("--level", type=int, default=0,
-                    help="accepted for parity; currently a no-op (as upstream)")
+                    help="0 = upstream-parity parse; >=1 = candidate parse "
+                         "(better ratio)")
+    pc.add_argument("--dict", help="preset dictionary file (<=64 KiB; "
+                                   "framework extension)")
     pc.set_defaults(fn=cmd_compress)
 
     pd = sub.add_parser("d", help="decompress")
     pd.add_argument("input")
     pd.add_argument("output")
+    pd.add_argument("--dict", help="preset dictionary used at compression")
     pd.set_defaults(fn=cmd_decompress)
 
     pb = sub.add_parser("b", help="benchmark")

@@ -73,6 +73,26 @@ def _sharded_candidates(mesh: Mesh):
     return run
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_candidates_dict(mesh: Mesh):
+    """Dictionary variant: the dictionary is REPLICATED over the mesh (the
+    'shared dictionary broadcast' of BASELINE config 4) while blocks stay
+    sharded; each device searches over concat(dict, block)."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), spec), out_specs=spec, check_vma=False)
+    def run(dict_i32, blocks_i32):
+        def one(blk):
+            return encode_xla.find_candidates(
+                jnp.concatenate([dict_i32, blk]))
+
+        return jax.vmap(one)(blocks_i32)
+
+    return run
+
+
 # --- decompress ----------------------------------------------------------------
 
 def _tokenize_all(stream: bytes, table) -> Tuple[list, int]:
@@ -150,11 +170,14 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
 # --- compress ------------------------------------------------------------------
 
 def compress(data: bytes, ext: bool = True, level: int = 1,
-             mesh: Optional[Mesh] = None) -> bytes:
+             mesh: Optional[Mesh] = None,
+             dictionary: Optional[bytes] = None) -> bytes:
     """Device candidate search + host emission -> .tsq container.
 
     ``level`` is accepted for parity; the device path always uses the
-    candidate parse (it IS the level>=1 parse).
+    candidate parse (it IS the level>=1 parse). With ``dictionary`` the
+    shared context is broadcast (replicated) across the mesh and every
+    block's search runs over concat(dict, block).
     """
     from ..runtime import native
 
@@ -173,14 +196,26 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
         batch[b, :len(arr)] = arr
 
     sharding = mesh_mod.block_sharding(mesh)
-    cands = _sharded_candidates(mesh)(
-        jax.device_put(batch[:, :BLOCK_SZ], sharding))
+    if dictionary is not None:
+        dlen = len(dictionary)
+        dict_i32 = np.frombuffer(dictionary, np.uint8).astype(np.int32)
+        cands = _sharded_candidates_dict(mesh)(
+            jax.device_put(dict_i32, mesh_mod.replicated(mesh)),
+            jax.device_put(batch[:, :BLOCK_SZ], sharding))
+    else:
+        dlen = 0
+        cands = _sharded_candidates(mesh)(
+            jax.device_put(batch[:, :BLOCK_SZ], sharding))
     cands_host = np.asarray(cands)
 
     parts = [ContainerHeader(n, len(data)).pack()]
     for b, blk in enumerate(blocks):
-        payload = native.encode_block_candidates(
-            blk, cands_host[b, :len(blk)], ext)
+        if dictionary is not None:
+            payload = native.encode_block_dict(
+                blk, dictionary, cands_host[b, :dlen + len(blk)], ext)
+        else:
+            payload = native.encode_block_candidates(
+                blk, cands_host[b, :len(blk)], ext)
         parts.append(pack_block_header(len(payload), ext))
         parts.append(payload)
     return b"".join(parts)

@@ -221,7 +221,8 @@ def encode_block(data: bytes, ext: bool) -> bytes:
     return bytes(out[:j])
 
 
-def decode_block(payload: bytes, ext: bool) -> bytes:
+def decode_block(payload: bytes, ext: bool,
+                 dictionary: bytes = None) -> bytes:
     """Decompress one block payload back to its exact uncompressed bytes.
 
     Token interpreter equivalent of tsq_decode.cpp:129-315 (ext) /
@@ -238,6 +239,10 @@ def decode_block(payload: bytes, ext: bool) -> bytes:
 
     GUARD = 65536
     out = bytearray(GUARD + size + 80)  # guard region + over-advance slack
+    if dictionary:
+        # preset dictionary occupies the tail of the guard region
+        # (turbosqueeze.cpp:128-136's reserved mechanism, implemented)
+        out[GUARD - len(dictionary):GUARD] = dictionary
     inp = bytes(payload) + bytes(32)    # slack for trailing padded symbols
     i = 3
     j = GUARD
@@ -334,12 +339,13 @@ def compress(data: bytes, ext: bool = True) -> bytes:
     return b"".join(parts)
 
 
-def decompress(stream: bytes) -> bytes:
+def decompress(stream: bytes, dictionary: bytes = None) -> bytes:
     """Decompress a complete .tsq container back to the original bytes."""
     from .format import ContainerHeader, iter_container
 
     hdr = ContainerHeader.unpack(stream)
-    parts = [decode_block(payload, ext) for _, payload, ext in iter_container(stream)]
+    parts = [decode_block(payload, ext, dictionary=dictionary)
+             for _, payload, ext in iter_container(stream)]
     result = b"".join(parts)
     if len(result) != hdr.total_size:
         raise FormatError(

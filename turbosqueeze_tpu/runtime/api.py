@@ -31,14 +31,28 @@ def _resolve(backend: str) -> str:
 
 
 def compress(data: bytes, ext: bool = True, backend: str = "auto",
-             level: int = 0) -> bytes:
+             level: int = 0, dictionary: bytes = None) -> bytes:
     """Compress bytes into a .tsq container.
 
-    ``level`` is accepted for CLI/API parity with the reference
-    (turbosqueeze.h:508) and is currently a no-op there as well
-    (SURVEY.md §5: plumbed end-to-end but never read by the codec).
+    ``level`` selects the parse: 0 reproduces the upstream greedy parse
+    bit-for-bit (the upstream plumbs the flag but never reads it,
+    SURVEY.md §5); >=1 uses the exact candidate parse (better ratio).
+    ``dictionary`` (framework extension, <=64 KiB) supplies shared context
+    virtually preceding every block; both ends must use the same one.
     """
     b = _resolve(backend)
+    if dictionary is not None:
+        if b == "oracle":
+            raise NotImplementedError(
+                "dictionary mode needs the native or tpu backend")
+        if b == "native":
+            from . import native
+
+            return native.compress_dict(data, dictionary, ext)
+        from ..parallel import pipeline
+
+        return pipeline.compress(data, ext, level=max(level, 1),
+                                 dictionary=dictionary)
     if b == "oracle":
         from .. import reference_codec
 
@@ -52,11 +66,24 @@ def compress(data: bytes, ext: bool = True, backend: str = "auto",
     return pipeline.compress(data, ext, level=level)
 
 
-def decompress(stream: bytes, backend: str = "auto") -> bytes:
+def decompress(stream: bytes, backend: str = "auto",
+               dictionary: bytes = None) -> bytes:
     """Decompress a .tsq container back to the original bytes."""
     if len(stream) < 16 or stream[:4] != b"TSQ1":
         raise FormatError("not a TSQ1 stream")
     b = _resolve(backend)
+    if dictionary is not None:
+        if b == "tpu":
+            # device kernel dictionary support lands with kernel v2; the
+            # native path provides dict decode meanwhile
+            b = "native"
+        if b == "oracle":
+            from .. import reference_codec
+
+            return reference_codec.decompress(stream, dictionary=dictionary)
+        from . import native
+
+        return native.decompress_dict(stream, dictionary)
     if b == "oracle":
         from .. import reference_codec
 

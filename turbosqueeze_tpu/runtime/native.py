@@ -66,8 +66,88 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tsq_encode_block_candidates.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int]
+    lib.tsq_compress_mt_dict.restype = ctypes.c_int64
+    lib.tsq_compress_mt_dict.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int]
+    lib.tsq_decompress_mt_dict.restype = ctypes.c_int64
+    lib.tsq_decompress_mt_dict.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int]
+    lib.tsq_encode_block_dict.restype = ctypes.c_int64
+    lib.tsq_encode_block_dict.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int]
     _LIB = lib
     return _LIB
+
+MAX_DICT = 65536 - 4
+
+
+def compress_dict(data: bytes, dictionary: bytes, ext: bool = True,
+                  n_threads: int = 0) -> bytes:
+    """Compress with a preset dictionary (shared 64 KiB context virtually
+    preceding every block; framework extension — see csrc/tsq_core.h)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    if not (0 < len(dictionary) <= MAX_DICT):
+        raise ValueError(f"dictionary must be 1..{MAX_DICT} bytes")
+    bound = lib.tsq_compress_bound(len(data))
+    out = np.empty(bound, dtype=np.uint8)
+    n = lib.tsq_compress_mt_dict(data, len(data), dictionary,
+                                 len(dictionary), _as_ptr(out), bound,
+                                 1 if ext else 0, n_threads)
+    if n < 0:
+        raise RuntimeError(f"native dict compress failed (code {n})")
+    return out[:n].tobytes()
+
+
+def decompress_dict(stream: bytes, dictionary: bytes,
+                    n_threads: int = 0) -> bytes:
+    import numpy as np
+
+    from ..format import FormatError
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    if not (0 < len(dictionary) <= MAX_DICT):
+        raise ValueError(f"dictionary must be 1..{MAX_DICT} bytes")
+    size = lib.tsq_decompressed_size(stream, len(stream))
+    if size < 0:
+        raise FormatError(f"bad .tsq stream (code {size})")
+    out = np.empty(max(size, 1), dtype=np.uint8)
+    n = lib.tsq_decompress_mt_dict(stream, len(stream), dictionary,
+                                   len(dictionary), _as_ptr(out), size,
+                                   n_threads)
+    if n < 0:
+        raise FormatError(f"native dict decompress failed (code {n})")
+    return out[:n].tobytes()
+
+
+def encode_block_dict(block: bytes, dictionary: bytes, cand,
+                      ext: bool) -> bytes:
+    """Emit one block payload from concat-buffer candidates (device encode
+    path with dictionary: candidates come from find_candidates over
+    dictionary+block)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    cand = np.ascontiguousarray(cand, dtype=np.int32)
+    if len(cand) != len(dictionary) + len(block):
+        raise ValueError("candidates must cover dictionary + block")
+    out = np.empty((1 << 22) + (1 << 20) + 64, dtype=np.uint8)
+    psz = lib.tsq_encode_block_dict(
+        dictionary + block + bytes(80), len(dictionary), len(block),
+        cand.ctypes.data, out.ctypes.data, 1 if ext else 0)
+    if psz < 0:
+        raise RuntimeError(f"dict emission failed (code {psz})")
+    return out[:psz].tobytes()
 
 
 def build_candidates(block: bytes):
