@@ -37,6 +37,7 @@ from ..format import (
     split_blocks,
 )
 from ..kernels import decode_tokens as DK
+from ..kernels import decode_xla as DXL
 from ..kernels import encode_xla
 from . import mesh as mesh_mod
 
@@ -150,16 +151,68 @@ def decompress_to_words(stream: bytes, mesh: Optional[Mesh] = None,
     return words, sizes, hdr
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_decode_xla(mesh: Mesh):
+    """jit(shard_map(flat scatter/gather decode)) over the block axis."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec), out_specs=spec,
+        check_vma=False)
+    def run(dst, src, ln, lit, payload_u8):
+        return DXL.decode_batch_xla(dst, src, ln, lit, payload_u8)
+
+    return run
+
+
+def _decompress_xla(stream: bytes, mesh: Mesh):
+    """Decode via the portable XLA formulation (kernels/decode_xla.py)."""
+    hdr, table = scan_block_table(stream)
+    parsed, _ = _tokenize_all(stream, table)
+    n = len(parsed)
+    if n == 0:
+        return np.zeros((0, 0), np.uint8), [], hdr
+    n_dev = mesh.devices.size
+    B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+    tok = [p[1:5] for p in parsed] + [parsed[0][1:5]] * (B - n)
+    d, s, l, q = DXL.pack_token_batch(tok, n_out=DXL.OUT_N)
+    pay = DXL.pack_payload_batch([p[0] for p in parsed]
+                                 + [parsed[0][0]] * (B - n))
+    sharding = mesh_mod.block_sharding(mesh)
+    args = [jax.device_put(x, sharding) for x in (d, s, l, q, pay)]
+    out = np.asarray(_sharded_decode_xla(mesh)(*args))
+    sizes = [p[5] for p in parsed]
+    return out, sizes, hdr
+
+
 def decompress(stream: bytes, mesh: Optional[Mesh] = None,
-               interpret: bool = False) -> bytes:
-    """Full device decode -> ordered host assembly (the writer-thread role)."""
+               interpret: bool = False, impl: str = "auto") -> bytes:
+    """Full device decode -> ordered host assembly (the writer-thread role).
+
+    impl: 'pallas' = the VMEM token-walk kernel (production path on TPU,
+    where elementwise XLA gathers are crossbar-bound); 'xla' = the portable
+    scatter/gather + pointer-doubling formulation (fast path on CPU meshes,
+    and on any backend with fast elementwise gathers); 'auto' picks by
+    backend.
+    """
     from ..format import FormatError
 
-    words, sizes, hdr = decompress_to_words(stream, mesh, interpret)
-    host = np.asarray(words)  # ordered all-gather to host
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if mesh is None:
+        mesh = mesh_mod.block_mesh()
     parts: List[bytes] = []
-    for b, size in enumerate(sizes):
-        parts.append(host[b].reshape(-1).view("<u1")[:size].tobytes())
+    if impl == "xla":
+        flat, sizes, hdr = _decompress_xla(stream, mesh)
+        for b, size in enumerate(sizes):
+            parts.append(flat[b, :size].tobytes())
+    else:
+        words, sizes, hdr = decompress_to_words(stream, mesh, interpret)
+        host = np.asarray(words)  # ordered all-gather to host
+        for b, size in enumerate(sizes):
+            parts.append(host[b].reshape(-1).view("<u1")[:size].tobytes())
     out = b"".join(parts)
     if len(out) != hdr.total_size:
         raise FormatError(
