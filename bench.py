@@ -61,7 +61,8 @@ def ensure_native():
 def build_reference(tmp: Path):
     """Build the upstream reference harness for same-box calibration."""
     harness = REPO / ".ref_build" / "golden_harness"
-    if harness.exists():
+    src = REPO / "tests/golden/harness.cpp"
+    if harness.exists() and harness.stat().st_mtime >= src.stat().st_mtime:
         return harness
     ref = Path("/root/reference")
     if not ref.exists():
@@ -156,31 +157,35 @@ def main():
     mb = len(data) / 1e6
 
     # --- ours: encode (levels 0/1) + decode, host MT path -------------------
-    t0 = time.perf_counter()
-    stream = native.compress(data, True, level=0)
-    t1 = time.perf_counter()
-    out = native.decompress(stream)
-    t2 = time.perf_counter()
+    # best-of-two warm passes: the bench host has pathologically slow
+    # first-touch page faults (~15 MB/s memcpy on fresh pages vs 800+ warm),
+    # so single-shot timings measure the VM memory subsystem, not the codec.
+    # The reference baseline below is taken the same way (harness bc/bd).
+    enc_mbps = dec_mbps = 0.0
+    stream = out = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        stream = native.compress(data, True, level=0)
+        t1 = time.perf_counter()
+        out = native.decompress(stream)
+        t2 = time.perf_counter()
+        enc_mbps = max(enc_mbps, mb / (t1 - t0))
+        dec_mbps = max(dec_mbps, mb / (t2 - t1))
     assert out == data, "roundtrip mismatch!"
-    del out
-    enc_mbps = mb / (t1 - t0)
-    dec_mbps = mb / (t2 - t1)
-    # warm second decode (first pass pays allocator page faults)
-    t0 = time.perf_counter()
-    out = native.decompress(stream)
-    dec_mbps = max(dec_mbps, mb / (time.perf_counter() - t0))
-    assert out == data
     del out
     ratio = len(stream) / len(data)
     log(f"ours: encode {enc_mbps:.0f} MB/s, decode {dec_mbps:.0f} MB/s, "
         f"ratio {100 * ratio:.2f}%")
 
-    s1 = native.compress(data, True, level=1)
-    log(f"ours level-1: ratio {100 * len(s1) / len(data):.2f}% "
-        f"({100 * (1 - len(s1) / len(stream)):+.2f}% vs level-0/reference "
-        f"parse; size {len(s1):,} <= {len(stream):,} = "
-        f"{len(s1) <= len(stream)})")
-    del s1
+    # level-1 ratio diagnostic on a slice (the exact chain-walk parse is
+    # host-CPU-heavy; a 32 MiB sample characterizes the ratio win)
+    lv1 = data[:32 << 20]
+    s1 = native.compress(lv1, True, level=1)
+    s0 = native.compress(lv1, True, level=0)
+    log(f"ours level-1 (32MiB sample): ratio {100 * len(s1) / len(lv1):.2f}%"
+        f" ({100 * (1 - len(s1) / len(s0)):+.2f}% vs level-0/reference "
+        f"parse; size {len(s1):,} <= {len(s0):,} = {len(s1) <= len(s0)})")
+    del s1, s0, lv1
 
     # --- reference on the same box ------------------------------------------
     ref_dec = None
@@ -193,19 +198,24 @@ def main():
             tsq = Path(td) / "a.tsq"
             dec = Path(td) / "out"
             src.write_bytes(data)
-            t0 = time.perf_counter()
+            # warm best-of-two via the upstream MT memory path (harness
+            # bc/bd) — the fair counterpart of our own timing above
+            r = subprocess.run([str(harness), "bc", "1", str(src)],
+                               check=True, capture_output=True, text=True)
+            enc_s, ref_size = r.stdout.split()
+            ref_enc = mb / float(enc_s)
             subprocess.run([str(harness), "c", "1", str(src), str(tsq)],
                            check=True)
-            t1 = time.perf_counter()
+            r = subprocess.run([str(harness), "bd", str(tsq)],
+                               check=True, capture_output=True, text=True)
+            ref_dec = mb / float(r.stdout.split()[0])
             subprocess.run([str(harness), "d", str(tsq), str(dec)],
                            check=True)
-            t2 = time.perf_counter()
-            ref_enc = mb / (t1 - t0)
-            ref_dec = mb / (t2 - t1)
             ref_size = tsq.stat().st_size
             ok = dec.read_bytes() == data
-            log(f"reference (same box): encode {ref_enc:.0f} MB/s, decode "
-                f"{ref_dec:.0f} MB/s, ratio {100 * ref_size / len(data):.2f}%"
+            log(f"reference (same box, MT warm): encode {ref_enc:.0f} MB/s, "
+                f"decode {ref_dec:.0f} MB/s, "
+                f"ratio {100 * ref_size / len(data):.2f}%"
                 f", roundtrip {'OK' if ok else 'FAIL'}")
             log(f"size check: ours {len(stream):,} <= reference "
                 f"{ref_size:,} = {len(stream) <= ref_size}")

@@ -47,12 +47,18 @@ inline uint32_t code_width(uint32_t c) { return c < 3 ? (c + 2) << 4 : c + 1; }
 // write cursor, ctrl slot first. The `anchor` snapshots the input cursor
 // after every even symbol — match offsets are relative to it.
 struct TokenSink {
-  uint8_t* out;
+  uint8_t* __restrict out;
   uint32_t j;
   uint32_t ctrl_at;
   uint32_t size_at;
   uint32_t n_sym = 0;
   uint32_t anchor = 0;
+  // Register accumulators: ctrl bits / size nibbles are shifted in here and
+  // stored to their reserved slots only when a group completes (or at
+  // finish) — 8 bits / 2 nibbles always shift through, so final bytes never
+  // depend on prior slot contents.
+  uint32_t ctrl_acc = 0;
+  uint32_t size_acc = 0;
   // Exclusive end of bytes actually stored so far. Reserved ctrl/size slots
   // below this mark keep the bytes a literal over-copy deposited (part of
   // the byte-exact contract); slots at/above it start from zero. This makes
@@ -81,10 +87,14 @@ struct TokenSink {
 
   inline void account(uint32_t ctrl_bit, uint32_t nibble, uint32_t cursor) {
     ++n_sym;
-    out[ctrl_at] = (uint8_t)((out[ctrl_at] << 1) | ctrl_bit);
-    if ((n_sym & 7) == 0) ctrl_at = reserve();
-    out[size_at] = (uint8_t)((out[size_at] << 4) | nibble);
+    ctrl_acc = (ctrl_acc << 1) | ctrl_bit;
+    if ((n_sym & 7) == 0) {
+      out[ctrl_at] = (uint8_t)ctrl_acc;
+      ctrl_at = reserve();
+    }
+    size_acc = (size_acc << 4) | nibble;
     if ((n_sym & 1) == 0) {
+      out[size_at] = (uint8_t)size_acc;
       size_at = reserve();
       anchor = cursor;
     }
@@ -115,14 +125,14 @@ struct TokenSink {
   // Pad the final control byte with literal bits; a half-filled size byte
   // pads its low nibble with zero.
   inline uint32_t finish() {
-    bool size_done = false;
-    while ((n_sym & 7) != 0) {
-      out[ctrl_at] = (uint8_t)((out[ctrl_at] << 1) | 1);
-      if (!size_done && (n_sym & 1) != 0) {
-        out[size_at] = (uint8_t)(out[size_at] << 4);
-        size_done = true;
+    if ((n_sym & 7) != 0) {  // group-boundary streams leave dead reserved
+      if ((n_sym & 1) != 0)  // slots exactly as reserve() left them
+        out[size_at] = (uint8_t)(size_acc << 4);
+      while ((n_sym & 7) != 0) {
+        ctrl_acc = (ctrl_acc << 1) | 1;
+        ++n_sym;
       }
-      ++n_sym;
+      out[ctrl_at] = (uint8_t)ctrl_acc;
     }
     return j;
   }
@@ -336,22 +346,66 @@ namespace {
 // out[0, base); decoding appends at out[base, base+size). Match reads at
 // positions below `base` hit the dictionary, exactly the guard-region
 // mechanism the upstream decoder reserves (turbosqueeze.cpp:128-136).
+//
+// Structure: an UNCHECKED fast loop decodes whole control groups with wide
+// over-copies while the write frontier is > 640 bytes from the block end
+// (a full group advances <= 512 bytes and its widest copy extends <= 64
+// more, so fast-loop writes provably stay inside [0, base+size) — the
+// decoder never scribbles past the block, which lets the MT scheduler
+// decode blocks DIRECTLY into the shared output with no per-block staging
+// copy). An exact-width validated loop finishes the tail.
 int64_t decode_impl(const uint8_t* in, size_t in_size, uint8_t* out,
                     size_t out_capacity, bool ext, uint32_t base) {
   if (in_size < 5) return kErrBadPayload;
   uint32_t size = in[0] | (in[1] << 8) | ((uint32_t)in[2] << 16);
   if (size > kBlockSize) return kErrBlockTooBig;
-  if (out_capacity < base + size + 80) return kErrOutputTooSmall;
+  if (out_capacity < base + size) return kErrOutputTooSmall;
 
   size_t i = 3;
   uint32_t j = base;
   const uint32_t end = base + size;
 
-  // Truncation is checked once per control group against the group's
-  // worst-case consumption (1 ctrl + 4*(1 size + 16 + 16) = 133 bytes);
-  // within a group all reads are then known in-bounds given the caller's
-  // +64 read slack. Valid streams tail-pad, so over-consumption past
-  // in_size happens only inside the final group.
+  // Fast loop: no per-symbol bounds checks. Group input consumption is
+  // <= 1 + 4*(1 + 2*16) = 133 bytes, prechecked per group; writes stay
+  // below `end` by the 640-byte margin above.
+  if (size > 1024) {
+    const uint32_t fast_end = end - 640;
+    while (j < fast_end && i + 133 <= in_size) {
+      uint32_t ctrl = in[i++];
+      for (int pair = 0; pair < 4; ++pair) {
+        uint32_t size_byte = in[i++];
+        const uint32_t pair_anchor = j;
+        for (int half = 0; half < 2; ++half) {
+          uint32_t nibble = half == 0 ? size_byte >> 4 : size_byte & 15;
+          bool literal = (ctrl >> (7 - pair * 2 - half)) & 1;
+          if (literal) {
+            uint32_t sz = nibble + 1;
+            std::memcpy(&out[j], &in[i], 16);
+            j += sz;
+            i += sz;
+          } else {
+            uint32_t off = in[i] | (in[i + 1] << 8);
+            i += 2;
+            if (off > pair_anchor) return kErrBadPayload;
+            uint32_t src = pair_anchor - off;
+            uint32_t sz = ext && nibble < 3 ? 32 + 16 * nibble : nibble + 1;
+            // Wide copy: the encoder caps match sources strictly before
+            // the pair anchor, so every copied byte is already final and
+            // the 16..64-byte chunks are safe and branch-free. Over-copied
+            // bytes land at >= j+sz and are overwritten by later symbols.
+            std::memcpy(&out[j], &out[src], 16);
+            if (sz > 16) {
+              std::memcpy(&out[j + 16], &out[src + 16], 16);
+              std::memcpy(&out[j + 32], &out[src + 32], 32);
+            }
+            j += sz;
+          }
+        }
+      }
+    }
+  }
+
+  // Exact tail: validated, exact-width copies — never writes past `end`.
   while (j < end) {
     if (i >= in_size) return kErrTruncated;
     uint32_t ctrl = in[i++];
@@ -361,27 +415,22 @@ int64_t decode_impl(const uint8_t* in, size_t in_size, uint8_t* out,
       for (int half = 0; half < 2; ++half) {
         uint32_t nibble = half == 0 ? size_byte >> 4 : size_byte & 15;
         bool literal = (ctrl >> (7 - pair * 2 - half)) & 1;
+        uint32_t sz;
         if (literal) {
-          uint32_t sz = nibble + 1;
-          std::memcpy(&out[j], &in[i], 16);
+          sz = nibble + 1;
+          if (j + sz > end) sz = end - j;  // corrupt-stream clamp
+          std::memcpy(&out[j], &in[i], sz);
           j += sz;
-          i += sz;
+          i += nibble + 1;
           if (i > in_size + 48) return kErrTruncated;
         } else {
           uint32_t off = in[i] | (in[i + 1] << 8);
           i += 2;
           if (off > pair_anchor) return kErrBadPayload;
           uint32_t src = pair_anchor - off;
-          uint32_t sz = ext && nibble < 3 ? 32 + 16 * nibble : nibble + 1;
-          // Wide copy: the encoder caps match sources strictly before the
-          // pair anchor, so every copied byte is already final and the
-          // 16..64-byte chunks below are safe and branch-free. Over-copied
-          // bytes land at >= j+sz and are overwritten by later symbols.
-          std::memcpy(&out[j], &out[src], 16);
-          if (sz > 16) {
-            std::memcpy(&out[j + 16], &out[src + 16], 16);
-            std::memcpy(&out[j + 32], &out[src + 32], 32);
-          }
+          sz = ext && nibble < 3 ? 32 + 16 * nibble : nibble + 1;
+          if (j + sz > end) sz = end - j;  // corrupt-stream clamp
+          std::memmove(&out[j], &out[src], sz);
           j += sz;
         }
       }
@@ -408,9 +457,14 @@ int64_t decode_block_dict(const uint8_t* in, size_t in_size,
 }
 
 size_t compress_bound(size_t in_size) {
+  // Per-block slot: header + worst-case payload + 32 bytes of isolation so
+  // concurrently encoding workers' 16-byte-wide literal over-copies can
+  // never cross into a neighbor's staged slot (compress_mt encodes blocks
+  // in place at this spacing, then compacts).
   size_t n_blocks = (in_size + kBlockSize - 1) / kBlockSize;
   if (n_blocks == 0) n_blocks = 1;
-  return kContainerHeaderSize + n_blocks * (kBlockHeaderSize + kOutputSize) + 64;
+  return kContainerHeaderSize +
+         n_blocks * (kBlockHeaderSize + kOutputSize + 32) + 64;
 }
 
 int64_t decompressed_size(const uint8_t* in, size_t in_size) {

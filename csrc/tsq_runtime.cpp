@@ -77,13 +77,13 @@ struct EncodeScratch {
 
   // Encode honoring the compression level: 0 = reference-parity hash-table
   // parse; >= 1 = exact hash-chain candidates (better ratio, ~2x cost).
-  uint32_t encode(uint32_t bsz, bool ext, uint32_t level) {
-    if (level == 0)
-      return encode_block(state, in.data(), bsz, out.data(), ext);
+  uint32_t encode(uint32_t bsz, bool ext, uint32_t level,
+                  uint8_t* dst = nullptr) {
+    if (!dst) dst = out.data();
+    if (level == 0) return encode_block(state, in.data(), bsz, dst, ext);
     if (cand.empty()) cand.resize(kBlockSize);
     build_candidates(in.data(), bsz, cand.data());
-    return encode_block_candidates(in.data(), bsz, cand.data(), out.data(),
-                                   ext);
+    return encode_block_candidates(in.data(), bsz, cand.data(), dst, ext);
   }
 };
 
@@ -116,9 +116,14 @@ int64_t compress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
   write_header(out, (uint32_t)n_blocks, in_size);
   if (n_blocks == 0) return kContainerHeaderSize;
 
-  // Stage 1: encode every block into per-block buffers (compressed size is
-  // unknown until encoded, so final offsets need a serial pass after).
-  std::vector<std::vector<uint8_t>> results(n_blocks);
+  // Stage 1: encode each block DIRECTLY into its worst-case slot in the
+  // output (compressed sizes are unknown until encoded, so blocks land at
+  // worst-case spacing first); stage 2 compacts left in order — one
+  // in-place memmove instead of the staging-buffer copy + concat copy.
+  const size_t slot = kBlockHeaderSize + (size_t)kOutputSize + 32;
+  if (out_capacity < kContainerHeaderSize + n_blocks * slot)
+    return kErrOutputTooSmall;  // callers size with compress_bound()
+  std::vector<uint32_t> sizes(n_blocks);
   int T = pool_size(n_threads);
   std::vector<std::unique_ptr<EncodeScratch>> scratch;
   for (int t = 0; t < T; ++t) scratch.emplace_back(new EncodeScratch());
@@ -127,24 +132,26 @@ int64_t compress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
     EncodeScratch& s = *scratch[t];
     size_t off = b * (size_t)kBlockSize;
     uint32_t bsz = (uint32_t)std::min<size_t>(kBlockSize, in_size - off);
-    // Stage into the zero-padded buffer: the encoder reads past the block
-    // end; zeros there pin determinism (format spec convention).
+    // Stage the input into the zero-padded buffer: the encoder reads past
+    // the block end; zeros there pin determinism (format spec convention).
     std::memcpy(s.in.data(), in + off, bsz);
     std::memset(s.in.data() + bsz, 0, kEncInSlack);
-    uint32_t psz = s.encode(bsz, ext, level);
-    results[b].assign(s.out.data(), s.out.data() + psz);
+    uint8_t* dst = out + kContainerHeaderSize + b * slot + kBlockHeaderSize;
+    sizes[b] = s.encode(bsz, ext, level, dst);
     return true;
   });
   if (!ok) return kErrBadPayload;
 
-  // Stage 2: serial ordered concatenation (the writer-thread role).
+  // Stage 2: ordered in-place compaction (the writer-thread role). Final
+  // positions never exceed staged positions, so left-moving memmove is safe.
   size_t w = kContainerHeaderSize;
   for (size_t b = 0; b < n_blocks; ++b) {
-    size_t psz = results[b].size();
-    if (w + kBlockHeaderSize + psz > out_capacity) return kErrOutputTooSmall;
+    size_t psz = sizes[b];
     write_block_header(out + w, (uint32_t)psz, ext);
     w += kBlockHeaderSize;
-    std::memcpy(out + w, results[b].data(), psz);
+    std::memmove(out + w,
+                 out + kContainerHeaderSize + b * slot + kBlockHeaderSize,
+                 psz);
     w += psz;
   }
   return (int64_t)w;
@@ -196,20 +203,20 @@ int64_t decompress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
       s.in.resize(e.size + kDecInSlack, 0);
       payload = s.in.data();
     }
-    // Decode into scratch, then commit exactly the block's bytes: wide
-    // copies overshoot block ends, and neighbors may already be written.
-    int64_t r = decode_block(payload, e.size, s.out.data(), s.out.size(),
-                             e.ext);
+    // Decode DIRECTLY into the shared output: the block decoder never
+    // writes past its declared size (fast loop stops 640 bytes early,
+    // exact-width tail), so concurrently decoded neighbors can't clobber
+    // each other and no staging copy is needed.
+    size_t dst = b * (size_t)kBlockSize;
+    if (dst >= total) {
+      err.store(kErrBadPayload);
+      return false;
+    }
+    int64_t r = decode_block(payload, e.size, out + dst, total - dst, e.ext);
     if (r < 0) {
       err.store(r);
       return false;
     }
-    size_t dst = b * (size_t)kBlockSize;
-    if (dst + (uint64_t)r > total) {
-      err.store(kErrBadPayload);
-      return false;
-    }
-    std::memcpy(out + dst, s.out.data(), (size_t)r);
     produced.fetch_add((uint64_t)r);
     return true;
   });

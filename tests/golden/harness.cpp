@@ -8,6 +8,14 @@
 //   harness db <0|1 ext> <in> <out>   decode one block payload
 //   harness c  <0|1 ext> <in> <out>   whole-file container compress
 //   harness d  <in> <out>             whole-file container decompress
+//   harness bc <0|1 ext> <in>         MT memory-mode compress bench: runs
+//                                     twice (page-warm), prints best seconds
+//   harness bd <in>                   MT memory-mode decompress bench, same
+// The b* modes exist for fair same-box baselines: the bench host has slow
+// first-touch page faults, so single-shot process timings measure the
+// memory subsystem, not the codec. Warm best-of-two matches how our own
+// numbers are taken.
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -40,7 +48,7 @@ static void write_all(const char* path, const uint8_t* p, size_t n) {
 }
 
 int main(int argc, char** argv) {
-    if (argc < 4) { fprintf(stderr, "bad args\n"); return 1; }
+    if (argc < 3) { fprintf(stderr, "bad args\n"); return 1; }
     const char* mode = argv[1];
 
     if (!strcmp(mode, "eb") || !strcmp(mode, "db")) {
@@ -87,6 +95,52 @@ int main(int argc, char** argv) {
         if (!fi || !fo) return 2;
         tsqDecompress(fi, fo);
         fclose(fi); fclose(fo);
+        return 0;
+    }
+
+    if (!strcmp(mode, "bc")) {
+        if (argc != 4) return 1;
+        bool ext = atoi(argv[2]) != 0;
+        std::vector<uint8_t> in = read_all(argv[3]);
+        TSQCompressionContext_MT* ctx = tsqAllocateContextCompression_MT(false);
+        double best = 1e30;
+        size_t outsz = 0;
+        for (int r = 0; r < 2; ++r) {
+            uint8_t* out = nullptr;
+            auto t0 = std::chrono::steady_clock::now();
+            bool ok = tsqCompress_MT(ctx, in.data(), in.size(), false,
+                                     &out, &outsz, false, ext, 0);
+            std::chrono::duration<double> dt =
+                std::chrono::steady_clock::now() - t0;
+            if (!ok) { fprintf(stderr, "compress failed\n"); return 3; }
+            if (dt.count() < best) best = dt.count();
+            free(out);
+        }
+        tsqDeallocateContextCompression_MT(ctx);
+        printf("%.6f %zu\n", best, outsz);
+        return 0;
+    }
+
+    if (!strcmp(mode, "bd")) {
+        if (argc != 3) return 1;
+        std::vector<uint8_t> in = read_all(argv[2]);
+        TSQDecompressionContext_MT* ctx =
+            tsqAllocateContextDecompression_MT(false);
+        double best = 1e30;
+        size_t outsz = 0;
+        for (int r = 0; r < 2; ++r) {
+            uint8_t* out = nullptr;
+            auto t0 = std::chrono::steady_clock::now();
+            bool ok = tsqDecompress_MT(ctx, in.data(), in.size(), false,
+                                       &out, &outsz, false);
+            std::chrono::duration<double> dt =
+                std::chrono::steady_clock::now() - t0;
+            if (!ok) { fprintf(stderr, "decompress failed\n"); return 3; }
+            if (dt.count() < best) best = dt.count();
+            free(out);
+        }
+        tsqDeallocateContextDecompression_MT(ctx);
+        printf("%.6f %zu\n", best, outsz);
         return 0;
     }
 

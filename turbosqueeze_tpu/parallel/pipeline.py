@@ -94,6 +94,34 @@ def _sharded_candidates_dict(mesh: Mesh):
     return run
 
 
+def _device_put(x: np.ndarray, sharding):
+    """Host batch -> sharded global array, multi-process safe.
+
+    Every process holds the full host batch (replicated host IO — each host
+    read the same stream); each contributes only its addressable shards.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def _to_host(x) -> np.ndarray:
+    """Ordered gather of a block-sharded array to every host.
+
+    Single-process: a plain device->host copy. Multi-host: the shards live
+    on other processes' devices, so this is the cross-DCN all-gather that
+    replaces the upstream writer thread's global-order drain
+    (tsq_threads.cpp:195-199) — every host receives the full batch in
+    block order and host 0 does the container IO.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 # --- decompress ----------------------------------------------------------------
 
 def _tokenize_all(stream: bytes, table) -> Tuple[list, int]:
@@ -146,7 +174,8 @@ def decompress_to_words(stream: bytes, mesh: Optional[Mesh] = None,
         sizes.append(size)
 
     sharding = mesh_mod.block_sharding(mesh)
-    args = [jax.device_put(x, sharding) for x in (payload_words, tok_a, tok_b)]
+    args = [_device_put(x, sharding)
+            for x in (payload_words, tok_a, tok_b)]
     words = _sharded_decode(mesh, interpret)(*args)
     return words, sizes, hdr
 
@@ -181,8 +210,8 @@ def _decompress_xla(stream: bytes, mesh: Mesh):
     pay = DXL.pack_payload_batch([p[0] for p in parsed]
                                  + [parsed[0][0]] * (B - n))
     sharding = mesh_mod.block_sharding(mesh)
-    args = [jax.device_put(x, sharding) for x in (d, s, l, q, pay)]
-    out = np.asarray(_sharded_decode_xla(mesh)(*args))
+    args = [_device_put(x, sharding) for x in (d, s, l, q, pay)]
+    out = _to_host(_sharded_decode_xla(mesh)(*args))
     sizes = [p[5] for p in parsed]
     return out, sizes, hdr
 
@@ -210,7 +239,7 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
             parts.append(flat[b, :size].tobytes())
     else:
         words, sizes, hdr = decompress_to_words(stream, mesh, interpret)
-        host = np.asarray(words)  # ordered all-gather to host
+        host = _to_host(words)  # ordered all-gather to host
         for b, size in enumerate(sizes):
             parts.append(host[b].reshape(-1).view("<u1")[:size].tobytes())
     out = b"".join(parts)
@@ -259,7 +288,7 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
         dlen = 0
         cands = _sharded_candidates(mesh)(
             jax.device_put(batch[:, :BLOCK_SZ], sharding))
-    cands_host = np.asarray(cands)
+    cands_host = _to_host(cands)
 
     parts = [ContainerHeader(n, len(data)).pack()]
     for b, blk in enumerate(blocks):

@@ -14,6 +14,36 @@ from typing import Optional
 _LIB: Optional[ctypes.CDLL] = None
 _SEARCHED = False
 
+# Zero-copy result buffers: decode sizes are exact (the container header
+# declares them), so the native core can write straight into a freshly
+# allocated Python bytes object — the standard CPython refcount-1 idiom —
+# instead of staging through numpy and paying a full-stream copy.
+_py_new_bytes = ctypes.pythonapi.PyBytes_FromStringAndSize
+_py_new_bytes.argtypes = [ctypes.c_void_p, ctypes.c_ssize_t]
+_py_new_bytes.restype = ctypes.py_object
+_py_bytes_ptr = ctypes.pythonapi.PyBytes_AsString
+_py_bytes_ptr.argtypes = [ctypes.py_object]
+_py_bytes_ptr.restype = ctypes.c_void_p
+
+
+_py_resize_bytes = ctypes.pythonapi._PyBytes_Resize
+_py_resize_bytes.argtypes = [ctypes.POINTER(ctypes.py_object),
+                             ctypes.c_ssize_t]
+_py_resize_bytes.restype = ctypes.c_int
+
+
+def _alloc_exact_bytes(n: int):
+    """Uninitialized bytes of length n plus its writable buffer address."""
+    b = _py_new_bytes(None, n)
+    return b, _py_bytes_ptr(b)
+
+
+def _shrink_bytes(obj: ctypes.py_object, n: int) -> bytes:
+    """In-place shrink of a refcount-1 bytes held ONLY by ``obj``."""
+    if _py_resize_bytes(ctypes.byref(obj), n) != 0:
+        raise MemoryError("bytes resize failed")
+    return obj.value
+
 
 def _find_library() -> Optional[Path]:
     here = Path(__file__).resolve().parent.parent.parent
@@ -41,14 +71,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tsq_compress_bound.argtypes = [ctypes.c_uint64]
     lib.tsq_compress_mt.restype = ctypes.c_int64
     lib.tsq_compress_mt.argtypes = [
-        ctypes.c_char_p, ctypes.c_uint64,        # input
-        ctypes.c_char_p, ctypes.c_uint64,        # output buffer, capacity
+        ctypes.c_void_p, ctypes.c_uint64,        # input
+        ctypes.c_void_p, ctypes.c_uint64,        # output buffer, capacity
         ctypes.c_int, ctypes.c_uint32, ctypes.c_int,  # ext, level, n_threads
     ]
     lib.tsq_decompress_mt.restype = ctypes.c_int64
     lib.tsq_decompress_mt.argtypes = [
-        ctypes.c_char_p, ctypes.c_uint64,
-        ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_uint64,
         ctypes.c_int,
     ]
     lib.tsq_decompressed_size.restype = ctypes.c_int64
@@ -68,12 +98,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int]
     lib.tsq_compress_mt_dict.restype = ctypes.c_int64
     lib.tsq_compress_mt_dict.argtypes = [
-        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint32,
-        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int]
     lib.tsq_decompress_mt_dict.restype = ctypes.c_int64
     lib.tsq_decompress_mt_dict.argtypes = [
-        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint32,
-        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int]
     lib.tsq_encode_block_dict.restype = ctypes.c_int64
     lib.tsq_encode_block_dict.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_void_p,
@@ -107,8 +137,6 @@ def compress_dict(data: bytes, dictionary: bytes, ext: bool = True,
 
 def decompress_dict(stream: bytes, dictionary: bytes,
                     n_threads: int = 0) -> bytes:
-    import numpy as np
-
     from ..format import FormatError
 
     lib = _load()
@@ -119,13 +147,14 @@ def decompress_dict(stream: bytes, dictionary: bytes,
     size = lib.tsq_decompressed_size(stream, len(stream))
     if size < 0:
         raise FormatError(f"bad .tsq stream (code {size})")
-    out = np.empty(max(size, 1), dtype=np.uint8)
+    out, ptr = _alloc_exact_bytes(size)
     n = lib.tsq_decompress_mt_dict(stream, len(stream), dictionary,
-                                   len(dictionary), _as_ptr(out), size,
-                                   n_threads)
+                                   len(dictionary), ptr, size, n_threads)
     if n < 0:
         raise FormatError(f"native dict decompress failed (code {n})")
-    return out[:n].tobytes()
+    if n != size:
+        raise FormatError(f"native dict decompress short ({n} != {size})")
+    return out
 
 
 def encode_block_dict(block: bytes, dictionary: bytes, cand,
@@ -220,18 +249,18 @@ def _as_ptr(arr) -> ctypes.c_char_p:
 
 def compress(data: bytes, ext: bool = True, level: int = 0,
              n_threads: int = 0) -> bytes:
-    import numpy as np
-
     lib = _load()
     if lib is None:
         raise RuntimeError("native core not built (run `make -C csrc`)")
     bound = lib.tsq_compress_bound(len(data))
-    out = np.empty(bound, dtype=np.uint8)  # no zero-fill
-    n = lib.tsq_compress_mt(data, len(data), _as_ptr(out), bound,
-                            1 if ext else 0, level, n_threads)
+    # write into a bound-size bytes, then shrink in place (refcount-1 idiom:
+    # `obj` must stay the only reference until the shrink)
+    obj = ctypes.py_object(_py_new_bytes(None, bound))
+    n = lib.tsq_compress_mt(data, len(data), _py_bytes_ptr(obj),
+                            bound, 1 if ext else 0, level, n_threads)
     if n < 0:
         raise RuntimeError(f"native compress failed (code {n})")
-    return out[:n].tobytes()
+    return _shrink_bytes(obj, n)
 
 
 def compress_array(arr, ext: bool = True, level: int = 0,
@@ -300,8 +329,6 @@ def decompress_file(in_path: str, out_path: str, n_threads: int = 0) -> int:
 
 
 def decompress(stream: bytes, n_threads: int = 0) -> bytes:
-    import numpy as np
-
     from ..format import FormatError
 
     lib = _load()
@@ -310,9 +337,10 @@ def decompress(stream: bytes, n_threads: int = 0) -> bytes:
     size = lib.tsq_decompressed_size(stream, len(stream))
     if size < 0:
         raise FormatError(f"bad .tsq stream (code {size})")
-    out = np.empty(max(size, 1), dtype=np.uint8)
-    n = lib.tsq_decompress_mt(stream, len(stream), _as_ptr(out), size,
-                              n_threads)
+    out, ptr = _alloc_exact_bytes(size)
+    n = lib.tsq_decompress_mt(stream, len(stream), ptr, size, n_threads)
     if n < 0:
         raise FormatError(f"native decompress failed (code {n})")
-    return out[:n].tobytes()
+    if n != size:  # decompress_mt returns total or an error code
+        raise FormatError(f"native decompress short ({n} != {size})")
+    return out
