@@ -1,0 +1,44 @@
+"""Worker process for the 2-process multi-host pipeline test.
+
+Usage: python multihost_worker.py <coordinator> <nprocs> <pid> <stream> <out>
+
+Each process contributes 4 virtual CPU devices; the block batch shards over
+the global 8-device mesh across BOTH processes, and the ordered
+process_allgather (pipeline._to_host) plays the upstream writer-thread role
+over the process boundary — the real jax.distributed code path, not a
+simulation.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    coordinator, nprocs, pid, stream_path, out_path = sys.argv[1:6]
+    from turbosqueeze_tpu.parallel import mesh as mesh_mod
+    from turbosqueeze_tpu.parallel import pipeline
+
+    mesh_mod.init_distributed(coordinator, int(nprocs), int(pid))
+    assert jax.process_count() == int(nprocs), jax.process_count()
+    assert len(jax.devices()) == 4 * int(nprocs), len(jax.devices())
+
+    stream = open(stream_path, "rb").read()
+    out = pipeline.decompress(stream, impl="xla")
+    if jax.process_index() == 0:
+        with open(out_path, "wb") as f:
+            f.write(out)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()
