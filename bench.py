@@ -177,15 +177,19 @@ def main():
     log(f"ours: encode {enc_mbps:.0f} MB/s, decode {dec_mbps:.0f} MB/s, "
         f"ratio {100 * ratio:.2f}%")
 
-    # level-1 ratio diagnostic on a slice (the exact chain-walk parse is
-    # host-CPU-heavy; a 32 MiB sample characterizes the ratio win)
-    lv1 = data[:32 << 20]
-    s1 = native.compress(lv1, True, level=1)
-    s0 = native.compress(lv1, True, level=0)
-    log(f"ours level-1 (32MiB sample): ratio {100 * len(s1) / len(lv1):.2f}%"
+    # higher-level ratio diagnostics on a slice (the chain-walk parses are
+    # host-CPU-heavy; a 32 MiB sample characterizes the ratio wins)
+    lv = data[:32 << 20]
+    s0 = native.compress(lv, True, level=0)
+    s1 = native.compress(lv, True, level=1)
+    s2 = native.compress(lv, True, level=2)
+    log(f"ours level-1 (32MiB sample): ratio {100 * len(s1) / len(lv):.2f}%"
         f" ({100 * (1 - len(s1) / len(s0)):+.2f}% vs level-0/reference "
         f"parse; size {len(s1):,} <= {len(s0):,} = {len(s1) <= len(s0)})")
-    del s1, s0, lv1
+    log(f"ours level-2 (lazy best-of-chain): ratio "
+        f"{100 * len(s2) / len(lv):.2f}% "
+        f"({100 * (1 - len(s2) / len(s0)):+.2f}% vs level-0)")
+    del s0, s1, s2, lv
 
     # --- reference on the same box ------------------------------------------
     ref_dec = None

@@ -86,6 +86,11 @@ int64_t tsq_encode_block_candidates(const uint8_t* in_padded,
                                       ext != 0);
 }
 
+int64_t tsq_encode_block_lazy(const uint8_t* in_padded, uint32_t in_size,
+                              const int32_t* cand, uint8_t* out, int ext) {
+  return tsq::encode_block_lazy(in_padded, in_size, cand, out, ext != 0);
+}
+
 int64_t tsq_decode_block(const uint8_t* in_padded, uint64_t in_size,
                          uint8_t* out, uint64_t out_capacity, int ext) {
   return tsq::decode_block(in_padded, in_size, out, out_capacity, ext != 0);

@@ -321,6 +321,127 @@ uint32_t encode_candidates_impl(const uint8_t* in, uint32_t base,
   return sink.finish();
 }
 
+// Common-prefix length of in[i..] and in[pos..], capped by the format's
+// anchor window (match source must end strictly before the pair anchor;
+// offsets must fit 4..65534). Returns 0 when unusable.
+template <bool kExt>
+inline uint32_t extend_match(const uint8_t* in, uint32_t i, uint32_t pos,
+                             uint32_t anchor) {
+  uint32_t offset = anchor - pos;
+  if (!(offset - 4 < 0xFFFB)) return 0;
+  uint32_t k = (uint32_t)tz_bytes(load64(&in[i]) ^ load64(&in[pos]));
+  if (k == 8) {
+    if constexpr (kExt) {
+      uint32_t nb, m = 1;
+      do {
+        nb = (uint32_t)tz_bytes(load64(&in[i + 8 * m]) ^
+                                load64(&in[pos + 8 * m]));
+        k += nb;
+        ++m;
+      } while (nb == 8 && k < 64);
+    } else {
+      k += (uint32_t)tz_bytes(load64(&in[i + 8]) ^ load64(&in[pos + 8]));
+    }
+  }
+  uint32_t window = anchor - pos;
+  if (k > window) k = window - 1;
+  return k;
+}
+
+// Best usable match in the candidate chain at position i: the NEAREST
+// same-window predecessor maximizes the raw byte extension but minimizes
+// the anchor-window length cap (k <= anchor - p - 1), so the longest
+// EMITTABLE match is often a farther chain entry. Walks a bounded number
+// of steps scoring each usable candidate. Returns the best capped length
+// (0 if none) and writes the position.
+template <bool kExt>
+inline uint32_t best_in_chain(const uint8_t* in, const int32_t* cand,
+                              uint32_t i, uint32_t anchor,
+                              uint32_t* best_pos) {
+  int32_t p = cand[i];
+  while (p >= 0 && (uint32_t)p + 4 > anchor) p = cand[p];  // skip unusable
+  uint32_t best_k = 0;
+  for (int steps = 0; p >= 0 && steps < 16; ++steps, p = cand[p]) {
+    if (anchor - (uint32_t)p > 65534) break;  // chain only gets farther
+    uint32_t k = extend_match<kExt>(in, i, (uint32_t)p, anchor);
+    if (k > best_k) {
+      best_k = k;
+      *best_pos = (uint32_t)p;
+      if (k >= (kExt ? 64u : 16u)) break;  // format max — can't do better
+    }
+  }
+  return best_k;
+}
+
+// Lazy one-step-deferred parse over best-of-chain matches (compression
+// level >= 2, a live knob where the upstream's `level` is plumbed but dead
+// — SURVEY.md §5): before emitting a match at i, peek i+1; when the next
+// position holds a sufficiently longer match, emit one literal instead and
+// take the longer match. Same bitstream format, smaller output than the
+// greedy candidate parse.
+template <bool kExt>
+uint32_t encode_lazy_impl(const uint8_t* in, uint32_t base, uint32_t size,
+                          const int32_t* cand, uint8_t* out) {
+  TokenSink sink(out, size, base);
+  const uint32_t end = base + size;
+  uint32_t i = base;
+  uint32_t run_start = base;
+  bool deferred = false;
+
+  while (i < end) {
+    // Flush literal runs every 32 scanned bytes: offsets are relative to
+    // the pair anchor, which only advances with emitted symbols — without
+    // the flush the window never covers recent history (the same rule the
+    // greedy parse and the reference follow, tsq_encode.cpp:232).
+    if (i - run_start > 31) {
+      sink.literals(in, run_start, i);
+      run_start = i;
+    }
+    // Prefilter under the OPTIMISTIC anchor (= i, an upper bound of the
+    // post-flush anchor): k shrinks monotonically with the anchor, so a
+    // position failing here can never emit. Flushing pending literals for
+    // every raw candidate would fragment runs into thousands of tiny
+    // symbols (measured 2.2x worse on binary data).
+    {
+      uint32_t pos_h;
+      if (best_in_chain<kExt>(in, cand, i, i, &pos_h) < 4) {
+        ++i;
+        continue;
+      }
+    }
+    // A usable match is likely: flush pending literals FIRST so the anchor
+    // (and with it the offset window and the source-before-anchor length
+    // cap) is current — short-offset matches are invisible under a stale
+    // anchor.
+    sink.literals(in, run_start, i);
+    run_start = i;
+    uint32_t pos = 0;
+    uint32_t k = best_in_chain<kExt>(in, cand, i, sink.anchor, &pos);
+    if (k < 4) {
+      ++i;
+      continue;
+    }
+    // Lazy peek, one-step deferral only (cascading defers convert whole
+    // repeat regions into literals); skip for already-long matches.
+    if (k < 32 && !deferred && i + 1 < end - 5) {
+      uint32_t pos2;
+      if (best_in_chain<kExt>(in, cand, i + 1, sink.anchor, &pos2) > k + 1) {
+        ++i;  // defer: the next position matches longer
+        deferred = true;
+        continue;
+      }
+    }
+    deferred = false;
+    uint32_t code = len_code(k);
+    uint32_t offset = sink.anchor - pos;
+    i += code_width(code);
+    sink.match(offset, code, i);
+    run_start = i;
+  }
+  if (run_start < end) sink.literals(in, run_start, end);
+  return sink.finish();
+}
+
 }  // namespace
 
 uint32_t encode_block_candidates(const uint8_t* in, uint32_t in_size,
@@ -328,6 +449,12 @@ uint32_t encode_block_candidates(const uint8_t* in, uint32_t in_size,
                                  bool ext) {
   return ext ? encode_candidates_impl<true>(in, 0, in_size, cand, out)
              : encode_candidates_impl<false>(in, 0, in_size, cand, out);
+}
+
+uint32_t encode_block_lazy(const uint8_t* in, uint32_t in_size,
+                           const int32_t* cand, uint8_t* out, bool ext) {
+  return ext ? encode_lazy_impl<true>(in, 0, in_size, cand, out)
+             : encode_lazy_impl<false>(in, 0, in_size, cand, out);
 }
 
 uint32_t encode_block_dict(const uint8_t* concat, uint32_t dict_len,

@@ -112,6 +112,11 @@ void build_candidates(const uint8_t* in, uint32_t in_size, int32_t* cand);
 uint32_t encode_block_candidates(const uint8_t* in, uint32_t in_size,
                                  const int32_t* cand, uint8_t* out, bool ext);
 
+// Lazy one-step-deferred candidate parse (compression level >= 2): peeks
+// the next position before committing a match. Same format, better ratio.
+uint32_t encode_block_lazy(const uint8_t* in, uint32_t in_size,
+                           const int32_t* cand, uint8_t* out, bool ext);
+
 // --- Preset dictionary (framework extension) ---------------------------------
 //
 // The upstream decoder reserves a 64 KiB guard region before each block and

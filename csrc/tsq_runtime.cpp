@@ -76,13 +76,16 @@ struct EncodeScratch {
       : in(kBlockSize + kEncInSlack, 0), out(kOutputSize + 32, 0) {}
 
   // Encode honoring the compression level: 0 = reference-parity hash-table
-  // parse; >= 1 = exact hash-chain candidates (better ratio, ~2x cost).
+  // parse; 1 = exact hash-chain candidates (better ratio, ~2x cost);
+  // >= 2 = lazy one-step-deferred parse over the same candidates.
   uint32_t encode(uint32_t bsz, bool ext, uint32_t level,
                   uint8_t* dst = nullptr) {
     if (!dst) dst = out.data();
     if (level == 0) return encode_block(state, in.data(), bsz, dst, ext);
     if (cand.empty()) cand.resize(kBlockSize);
     build_candidates(in.data(), bsz, cand.data());
+    if (level >= 2)
+      return encode_block_lazy(in.data(), bsz, cand.data(), dst, ext);
     return encode_block_candidates(in.data(), bsz, cand.data(), dst, ext);
   }
 };

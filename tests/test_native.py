@@ -90,3 +90,35 @@ def test_corrupt_stream_errors(native):
     stream[0:4] = b"XXXX"
     with pytest.raises(Exception):
         native.decompress(bytes(stream))
+
+
+def test_level2_lazy_parse(native, golden_harness, tmp_path):
+    """Level 2 = lazy one-step-deferred parse: same format (the upstream
+    binary decodes it), roundtrips exactly, and compresses at least as well
+    as greedy on compressible data."""
+    for seed, gen in ((71, synthetic_text), (72, synthetic_binary)):
+        data = gen((1 << 22) + 70_000, seed=seed)
+        s0 = native.compress(data, True, level=0)
+        s1 = native.compress(data, True, level=1)
+        s2 = native.compress(data, True, level=2)
+        assert native.decompress(s2) == data
+        assert len(s2) <= len(s1) <= len(s0)
+        # cross-decode by the upstream reference binary
+        ftsq = tmp_path / f"l2_{seed}.tsq"
+        fout = tmp_path / f"l2_{seed}.out"
+        ftsq.write_bytes(s2)
+        subprocess.run([str(golden_harness), "d", str(ftsq), str(fout)],
+                       check=True)
+        assert fout.read_bytes() == data
+
+
+def test_level2_pathological_inputs(native):
+    """Lazy parse on adversarial shapes: runs, tiny blocks, incompressible."""
+    cases = [b"", b"a", b"\x00" * 100_000, bytes(range(256)) * 4,
+             np.random.default_rng(9).integers(0, 256, 70_000,
+                                               np.uint8).tobytes()]
+    for data in cases:
+        s2 = native.compress(data, True, level=2)
+        assert native.decompress(s2) == data
+        s2n = native.compress(data, False, level=2)
+        assert native.decompress(s2n) == data

@@ -196,28 +196,46 @@ def _sharded_decode_xla(mesh: Mesh):
     return run
 
 
-def _decompress_xla(stream: bytes, mesh: Mesh):
-    """Decode via the portable XLA formulation (kernels/decode_xla.py)."""
-    hdr, table = scan_block_table(stream)
-    parsed, _ = _tokenize_all(stream, table)
+def _decode_window_xla(parsed, mesh: Mesh) -> List[bytes]:
+    """Decode one window of parsed blocks via kernels/decode_xla.py."""
     n = len(parsed)
-    if n == 0:
-        return np.zeros((0, 0), np.uint8), [], hdr
     n_dev = mesh.devices.size
     B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
     tok = [p[1:5] for p in parsed] + [parsed[0][1:5]] * (B - n)
     d, s, l, q = DXL.pack_token_batch(tok, n_out=DXL.OUT_N)
     pay = DXL.pack_payload_batch([p[0] for p in parsed]
-                                 + [parsed[0][0]] * (B - n))
+                                 + [parsed[0][0]] * (B - n),
+                                 pay_n=DXL.PAY_N)
     sharding = mesh_mod.block_sharding(mesh)
     args = [_device_put(x, sharding) for x in (d, s, l, q, pay)]
     out = _to_host(_sharded_decode_xla(mesh)(*args))
-    sizes = [p[5] for p in parsed]
-    return out, sizes, hdr
+    return [out[b, :p[5]].tobytes() for b, p in enumerate(parsed)]
+
+
+def _decode_window_pallas(parsed, mesh: Mesh, interpret: bool) -> List[bytes]:
+    """Decode one window of parsed blocks via the Pallas token-walk kernel."""
+    n = len(parsed)
+    n_dev = mesh.devices.size
+    B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+    max_tokens = max(len(p[1]) for p in parsed)
+    n_chunks = _round_up(DK.n_chunks_for_tokens(max_tokens), 64)
+    payload_words = np.zeros((B, DK.PAY_ROWS, DK.LANES), dtype=np.int32)
+    tok_a = np.zeros((B, n_chunks, DK._SLOT_ROWS, DK.LANES), dtype=np.int32)
+    tok_b = np.zeros_like(tok_a)
+    for b, (payload, dst, src, ln, lit, size) in enumerate(parsed):
+        payload_words[b] = DK.pack_payload_words(payload)
+        tok_a[b], tok_b[b] = DK.pack_tokens(dst, src, ln, lit, n_chunks)
+    sharding = mesh_mod.block_sharding(mesh)
+    args = [_device_put(x, sharding)
+            for x in (payload_words, tok_a, tok_b)]
+    host = _to_host(_sharded_decode(mesh, interpret)(*args))
+    return [host[b].reshape(-1).view("<u1")[:p[5]].tobytes()
+            for b, p in enumerate(parsed)]
 
 
 def decompress(stream: bytes, mesh: Optional[Mesh] = None,
-               interpret: bool = False, impl: str = "auto") -> bytes:
+               interpret: bool = False, impl: str = "auto",
+               window_blocks: int = 0) -> bytes:
     """Full device decode -> ordered host assembly (the writer-thread role).
 
     impl: 'pallas' = the VMEM token-walk kernel (production path on TPU,
@@ -225,6 +243,11 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     scatter/gather + pointer-doubling formulation (fast path on CPU meshes,
     and on any backend with fast elementwise gathers); 'auto' picks by
     backend.
+
+    Blocks stream through the mesh in windows (default 4 rounds of the
+    device count) so arbitrarily long containers decode in bounded host and
+    device memory — the moral successor of the upstream triple-buffered
+    rings (tsq_context.cpp:101-102).
     """
     from ..format import FormatError
 
@@ -232,16 +255,18 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if mesh is None:
         mesh = mesh_mod.block_mesh()
+    interpret = interpret or jax.default_backend() == "cpu"
+    if window_blocks <= 0:
+        window_blocks = 4 * mesh.devices.size
+
+    hdr, table = scan_block_table(stream)
     parts: List[bytes] = []
-    if impl == "xla":
-        flat, sizes, hdr = _decompress_xla(stream, mesh)
-        for b, size in enumerate(sizes):
-            parts.append(flat[b, :size].tobytes())
-    else:
-        words, sizes, hdr = decompress_to_words(stream, mesh, interpret)
-        host = _to_host(words)  # ordered all-gather to host
-        for b, size in enumerate(sizes):
-            parts.append(host[b].reshape(-1).view("<u1")[:size].tobytes())
+    for lo in range(0, len(table), window_blocks):
+        parsed, _ = _tokenize_all(stream, table[lo:lo + window_blocks])
+        if impl == "xla":
+            parts.extend(_decode_window_xla(parsed, mesh))
+        else:
+            parts.extend(_decode_window_pallas(parsed, mesh, interpret))
     out = b"".join(parts)
     if len(out) != hdr.total_size:
         raise FormatError(
@@ -256,10 +281,11 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
              dictionary: Optional[bytes] = None) -> bytes:
     """Device candidate search + host emission -> .tsq container.
 
-    ``level`` is accepted for parity; the device path always uses the
-    candidate parse (it IS the level>=1 parse). With ``dictionary`` the
-    shared context is broadcast (replicated) across the mesh and every
-    block's search runs over concat(dict, block).
+    The device path is the candidate parse: ``level`` <= 1 selects the
+    nearest-predecessor greedy emission, >= 2 the lazy best-of-chain parse
+    (same device phase A, better ratio). With ``dictionary`` the shared
+    context is broadcast (replicated) across the mesh and every block's
+    search runs over concat(dict, block).
     """
     from ..runtime import native
 
@@ -268,36 +294,38 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
         return ContainerHeader(0, 0).pack()
     if mesh is None:
         mesh = mesh_mod.block_mesh()
-
-    n = len(blocks)
     n_dev = mesh.devices.size
-    B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
-    batch = np.zeros((B, BLOCK_SZ + 4), dtype=np.int32)
-    for b, blk in enumerate(blocks):
-        arr = np.frombuffer(blk, dtype=np.uint8)
-        batch[b, :len(arr)] = arr
+    window = 4 * n_dev  # bounded host/device memory for long streams
 
-    sharding = mesh_mod.block_sharding(mesh)
+    dict_dev = None
+    dlen = 0
     if dictionary is not None:
         dlen = len(dictionary)
         dict_i32 = np.frombuffer(dictionary, np.uint8).astype(np.int32)
-        cands = _sharded_candidates_dict(mesh)(
-            jax.device_put(dict_i32, mesh_mod.replicated(mesh)),
-            jax.device_put(batch[:, :BLOCK_SZ], sharding))
-    else:
-        dlen = 0
-        cands = _sharded_candidates(mesh)(
-            jax.device_put(batch[:, :BLOCK_SZ], sharding))
-    cands_host = _to_host(cands)
+        dict_dev = jax.device_put(dict_i32, mesh_mod.replicated(mesh))
 
-    parts = [ContainerHeader(n, len(data)).pack()]
-    for b, blk in enumerate(blocks):
+    parts = [ContainerHeader(len(blocks), len(data)).pack()]
+    sharding = mesh_mod.block_sharding(mesh)
+    for lo in range(0, len(blocks), window):
+        win = blocks[lo:lo + window]
+        B = max(mesh_mod.pad_batch(len(win), n_dev), n_dev)
+        batch = np.zeros((B, BLOCK_SZ), dtype=np.int32)
+        for b, blk in enumerate(win):
+            batch[b, :len(blk)] = np.frombuffer(blk, dtype=np.uint8)
+        dev_batch = _device_put(batch, sharding)
         if dictionary is not None:
-            payload = native.encode_block_dict(
-                blk, dictionary, cands_host[b, :dlen + len(blk)], ext)
+            cands = _sharded_candidates_dict(mesh)(dict_dev, dev_batch)
         else:
-            payload = native.encode_block_candidates(
-                blk, cands_host[b, :len(blk)], ext)
-        parts.append(pack_block_header(len(payload), ext))
-        parts.append(payload)
+            cands = _sharded_candidates(mesh)(dev_batch)
+        cands_host = _to_host(cands)
+
+        for b, blk in enumerate(win):
+            if dictionary is not None:
+                payload = native.encode_block_dict(
+                    blk, dictionary, cands_host[b, :dlen + len(blk)], ext)
+            else:
+                payload = native.encode_block_candidates(
+                    blk, cands_host[b, :len(blk)], ext, level=level)
+            parts.append(pack_block_header(len(payload), ext))
+            parts.append(payload)
     return b"".join(parts)

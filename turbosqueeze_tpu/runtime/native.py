@@ -96,6 +96,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tsq_encode_block_candidates.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int]
+    lib.tsq_encode_block_lazy.restype = ctypes.c_int64
+    lib.tsq_encode_block_lazy.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int]
     lib.tsq_compress_mt_dict.restype = ctypes.c_int64
     lib.tsq_compress_mt_dict.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint32,
@@ -191,8 +195,11 @@ def build_candidates(block: bytes):
     return cand
 
 
-def encode_block_candidates(block: bytes, cand, ext: bool) -> bytes:
-    """Greedy emission from a candidate array -> one block payload."""
+def encode_block_candidates(block: bytes, cand, ext: bool,
+                            level: int = 1) -> bytes:
+    """Emission from a candidate array -> one block payload (the device
+    encode phase B): level 1 = nearest-predecessor greedy, level >= 2 =
+    lazy best-of-chain parse."""
     import numpy as np
 
     lib = _load()
@@ -202,7 +209,9 @@ def encode_block_candidates(block: bytes, cand, ext: bool) -> bytes:
     if len(cand) != len(block):
         raise ValueError("candidate array length must equal block length")
     out = np.empty((1 << 22) + (1 << 20) + 64, dtype=np.uint8)
-    psz = lib.tsq_encode_block_candidates(
+    fn = (lib.tsq_encode_block_lazy if level >= 2
+          else lib.tsq_encode_block_candidates)
+    psz = fn(
         block + bytes(80), len(block), cand.ctypes.data, out.ctypes.data,
         1 if ext else 0)
     if psz < 0:
