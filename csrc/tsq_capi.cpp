@@ -101,10 +101,10 @@ int64_t tsq_decode_block(const uint8_t* in_padded, uint64_t in_size,
 int64_t tsq_tokenize_block(const uint8_t* in_padded, uint64_t in_size,
                            int ext, uint32_t* dst, uint32_t* src,
                            uint16_t* len, uint8_t* lit, uint64_t max_tokens,
-                           uint32_t* uncompressed_size) {
+                           uint32_t* uncompressed_size, uint32_t base) {
   std::vector<tsq::Token> tokens(max_tokens);
   int64_t n = tsq::tokenize_block(in_padded, in_size, ext != 0, tokens.data(),
-                                  max_tokens, uncompressed_size);
+                                  max_tokens, uncompressed_size, base);
   if (n < 0) return n;
   for (int64_t k = 0; k < n; ++k) {
     dst[k] = tokens[k].dst;

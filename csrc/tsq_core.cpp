@@ -604,18 +604,23 @@ int64_t decompressed_size(const uint8_t* in, size_t in_size) {
 
 int64_t tokenize_block(const uint8_t* in, size_t in_size, bool ext,
                        Token* tokens, size_t max_tokens,
-                       uint32_t* uncompressed_size) {
+                       uint32_t* uncompressed_size, uint32_t base) {
   if (in_size < 5) return kErrBadPayload;
   uint32_t size = in[0] | (in[1] << 8) | ((uint32_t)in[2] << 16);
   if (size > kBlockSize) return kErrBlockTooBig;
   *uncompressed_size = size;
 
+  // `base` = preset-dictionary length: positions are emitted in the
+  // dict-extended output space [0, base + size) so match sources reaching
+  // into the dictionary stay non-negative (the device decoders stage the
+  // dictionary as synthetic literal tokens at [0, base)).
   size_t i = 3, n = 0;
-  uint32_t j = 0;
-  while (j < size) {
+  uint32_t j = base;
+  const uint32_t size_end = base + size;
+  while (j < size_end) {
     if (i >= in_size) return kErrTruncated;
     uint32_t ctrl = in[i++];
-    for (int pair = 0; pair < 4 && j < size; ++pair) {
+    for (int pair = 0; pair < 4 && j < size_end; ++pair) {
       if (i >= in_size) return kErrTruncated;
       uint32_t size_byte = in[i++];
       const uint32_t pair_anchor = j;

@@ -164,8 +164,11 @@ struct Token {
   uint16_t len;
   uint16_t literal;
 };
+// `base` = preset-dictionary length: tokens come out in the dict-extended
+// output space [0, base + size) so dictionary-reaching match sources stay
+// non-negative (0 for plain streams).
 int64_t tokenize_block(const uint8_t* in, size_t in_size, bool ext,
                        Token* tokens, size_t max_tokens,
-                       uint32_t* uncompressed_size);
+                       uint32_t* uncompressed_size, uint32_t base = 0);
 
 }  // namespace tsq

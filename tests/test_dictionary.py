@@ -107,3 +107,28 @@ def test_device_dict_compress(native, dictionary):
     # device parse with dict must match the host dict parse byte-for-byte
     host_stream = native.compress_dict(data, dictionary, ext=True)
     assert stream == host_stream
+
+
+def test_device_dict_decode(native, dictionary):
+    """Dict streams decode on the device mesh: the dictionary is staged by
+    synthetic literal tokens (block.tokenize_with_dict), both decode impls."""
+    from turbosqueeze_tpu.parallel import pipeline
+
+    data = synthetic_text(300_000, seed=97)
+    stream = native.compress_dict(data, dictionary, True)
+    assert pipeline.decompress(stream, dictionary=dictionary,
+                               impl="xla") == data
+    assert pipeline.decompress(stream, dictionary=dictionary,
+                               impl="pallas") == data
+    # api routing
+    from turbosqueeze_tpu.runtime.api import decompress
+
+    assert decompress(stream, backend="tpu", dictionary=dictionary) == data
+
+
+def test_device_dict_decode_multiblock(native, dictionary):
+    from turbosqueeze_tpu.parallel import pipeline
+
+    data = synthetic_text(2 * (1 << 22) + 4321, seed=98)
+    stream = native.compress_dict(data, dictionary, True)
+    assert pipeline.decompress(stream, dictionary=dictionary) == data

@@ -45,7 +45,8 @@ from . import mesh as mesh_mod
 # --- sharded device programs -------------------------------------------------
 
 @functools.lru_cache(maxsize=8)
-def _sharded_decode(mesh: Mesh, interpret: bool = False):
+def _sharded_decode(mesh: Mesh, interpret: bool = False,
+                    out_rows: int = DK.OUT_ROWS):
     """jit(shard_map(decode kernel)) over the block axis."""
     spec = P(mesh_mod.BLOCK_AXIS)
 
@@ -55,7 +56,7 @@ def _sharded_decode(mesh: Mesh, interpret: bool = False):
         in_specs=(spec, spec, spec), out_specs=spec, check_vma=False)
     def run(payload_words, tok_a, tok_b):
         return DK.decode_tokens_batch(payload_words, tok_a, tok_b,
-                                      interpret=interpret)
+                                      interpret=interpret, out_rows=out_rows)
 
     return run
 
@@ -124,15 +125,17 @@ def _to_host(x) -> np.ndarray:
 
 # --- decompress ----------------------------------------------------------------
 
-def _tokenize_all(stream: bytes, table) -> Tuple[list, int]:
-    from ..runtime import native
+def _tokenize_all(stream: bytes, table,
+                  dictionary: Optional[bytes] = None) -> Tuple[list, int]:
+    from ..block import tokenize_with_dict
 
     parsed = []
     max_tokens = 1
     for off, psz, ext in table:
         payload = stream[off:off + psz]
-        dst, src, ln, lit, size = native.tokenize_block(payload, ext)
-        parsed.append((payload, dst, src, ln, lit, size))
+        pay2, dst, src, ln, lit, size, _ = tokenize_with_dict(
+            payload, ext, dictionary)
+        parsed.append((pay2, dst, src, ln, lit, size))
         max_tokens = max(max_tokens, len(dst))
     return parsed, max_tokens
 
@@ -181,7 +184,7 @@ def decompress_to_words(stream: bytes, mesh: Optional[Mesh] = None,
 
 
 @functools.lru_cache(maxsize=8)
-def _sharded_decode_xla(mesh: Mesh):
+def _sharded_decode_xla(mesh: Mesh, n_out: int = DXL.OUT_N):
     """jit(shard_map(flat scatter/gather decode)) over the block axis."""
     spec = P(mesh_mod.BLOCK_AXIS)
 
@@ -191,51 +194,64 @@ def _sharded_decode_xla(mesh: Mesh):
         in_specs=(spec, spec, spec, spec, spec), out_specs=spec,
         check_vma=False)
     def run(dst, src, ln, lit, payload_u8):
-        return DXL.decode_batch_xla(dst, src, ln, lit, payload_u8)
+        return DXL.decode_batch_xla(dst, src, ln, lit, payload_u8,
+                                    n_out=n_out)
 
     return run
 
 
-def _decode_window_xla(parsed, mesh: Mesh) -> List[bytes]:
+_DICT_PAD = 1 << 16  # dict-extended output/payload headroom (bucketed)
+
+
+def _decode_window_xla(parsed, mesh: Mesh, base: int = 0) -> List[bytes]:
     """Decode one window of parsed blocks via kernels/decode_xla.py."""
     n = len(parsed)
     n_dev = mesh.devices.size
     B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+    n_out = DXL.OUT_N + (_DICT_PAD if base else 0)
+    pay_n = DXL.PAY_N + (_DICT_PAD if base else 0)
     tok = [p[1:5] for p in parsed] + [parsed[0][1:5]] * (B - n)
-    d, s, l, q = DXL.pack_token_batch(tok, n_out=DXL.OUT_N)
+    d, s, l, q = DXL.pack_token_batch(tok, n_out=n_out)
     pay = DXL.pack_payload_batch([p[0] for p in parsed]
                                  + [parsed[0][0]] * (B - n),
-                                 pay_n=DXL.PAY_N)
+                                 pay_n=pay_n)
     sharding = mesh_mod.block_sharding(mesh)
     args = [_device_put(x, sharding) for x in (d, s, l, q, pay)]
-    out = _to_host(_sharded_decode_xla(mesh)(*args))
-    return [out[b, :p[5]].tobytes() for b, p in enumerate(parsed)]
+    out = _to_host(_sharded_decode_xla(mesh, n_out)(*args))
+    return [out[b, base:base + p[5]].tobytes()
+            for b, p in enumerate(parsed)]
 
 
-def _decode_window_pallas(parsed, mesh: Mesh, interpret: bool) -> List[bytes]:
+def _decode_window_pallas(parsed, mesh: Mesh, interpret: bool,
+                          base: int = 0) -> List[bytes]:
     """Decode one window of parsed blocks via the Pallas token-walk kernel."""
     n = len(parsed)
     n_dev = mesh.devices.size
     B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+    pad_rows = (_DICT_PAD // DK.ROW_BYTES) if base else 0
+    pay_rows = DK.PAY_ROWS + pad_rows
+    out_rows = DK.OUT_ROWS + pad_rows
     max_tokens = max(len(p[1]) for p in parsed)
     n_chunks = _round_up(DK.n_chunks_for_tokens(max_tokens), 64)
-    payload_words = np.zeros((B, DK.PAY_ROWS, DK.LANES), dtype=np.int32)
+    payload_words = np.zeros((B, pay_rows, DK.LANES), dtype=np.int32)
     tok_a = np.zeros((B, n_chunks, DK._SLOT_ROWS, DK.LANES), dtype=np.int32)
     tok_b = np.zeros_like(tok_a)
     for b, (payload, dst, src, ln, lit, size) in enumerate(parsed):
-        payload_words[b] = DK.pack_payload_words(payload)
-        tok_a[b], tok_b[b] = DK.pack_tokens(dst, src, ln, lit, n_chunks)
+        payload_words[b] = DK.pack_payload_words(payload, pay_rows=pay_rows)
+        tok_a[b], tok_b[b] = DK.pack_tokens(dst, src, ln, lit, n_chunks,
+                                            pay_rows=pay_rows)
     sharding = mesh_mod.block_sharding(mesh)
     args = [_device_put(x, sharding)
             for x in (payload_words, tok_a, tok_b)]
-    host = _to_host(_sharded_decode(mesh, interpret)(*args))
-    return [host[b].reshape(-1).view("<u1")[:p[5]].tobytes()
+    host = _to_host(_sharded_decode(mesh, interpret, out_rows)(*args))
+    return [host[b].reshape(-1).view("<u1")[base:base + p[5]].tobytes()
             for b, p in enumerate(parsed)]
 
 
 def decompress(stream: bytes, mesh: Optional[Mesh] = None,
                interpret: bool = False, impl: str = "auto",
-               window_blocks: int = 0) -> bytes:
+               window_blocks: int = 0,
+               dictionary: Optional[bytes] = None) -> bytes:
     """Full device decode -> ordered host assembly (the writer-thread role).
 
     impl: 'pallas' = the VMEM token-walk kernel (production path on TPU,
@@ -247,7 +263,9 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     Blocks stream through the mesh in windows (default 4 rounds of the
     device count) so arbitrarily long containers decode in bounded host and
     device memory — the moral successor of the upstream triple-buffered
-    rings (tsq_context.cpp:101-102).
+    rings (tsq_context.cpp:101-102). With ``dictionary`` the preset context
+    is staged on-device by synthetic literal tokens (block.py
+    tokenize_with_dict) — the device twin of the guard-region dict decode.
     """
     from ..format import FormatError
 
@@ -259,14 +277,17 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     if window_blocks <= 0:
         window_blocks = 4 * mesh.devices.size
 
+    base = len(dictionary) if dictionary else 0
     hdr, table = scan_block_table(stream)
     parts: List[bytes] = []
     for lo in range(0, len(table), window_blocks):
-        parsed, _ = _tokenize_all(stream, table[lo:lo + window_blocks])
+        parsed, _ = _tokenize_all(stream, table[lo:lo + window_blocks],
+                                  dictionary)
         if impl == "xla":
-            parts.extend(_decode_window_xla(parsed, mesh))
+            parts.extend(_decode_window_xla(parsed, mesh, base))
         else:
-            parts.extend(_decode_window_pallas(parsed, mesh, interpret))
+            parts.extend(_decode_window_pallas(parsed, mesh, interpret,
+                                               base))
     out = b"".join(parts)
     if len(out) != hdr.total_size:
         raise FormatError(

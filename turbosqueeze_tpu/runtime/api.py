@@ -74,9 +74,9 @@ def decompress(stream: bytes, backend: str = "auto",
     b = _resolve(backend)
     if dictionary is not None:
         if b == "tpu":
-            # device kernel dictionary support lands with kernel v2; the
-            # native path provides dict decode meanwhile
-            b = "native"
+            from ..parallel import pipeline
+
+            return pipeline.decompress(stream, dictionary=dictionary)
         if b == "oracle":
             from .. import reference_codec
 

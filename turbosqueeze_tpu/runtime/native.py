@@ -87,7 +87,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tsq_tokenize_block.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
     ]
     lib.tsq_build_candidates.restype = None
     lib.tsq_build_candidates.argtypes = [
@@ -219,9 +219,11 @@ def encode_block_candidates(block: bytes, cand, ext: bool,
     return out[:psz].tobytes()
 
 
-def tokenize_block(payload: bytes, ext: bool):
+def tokenize_block(payload: bytes, ext: bool, dict_len: int = 0):
     """Parse one block payload into token arrays (dst, src, len, lit) plus
-    the uncompressed size. Phase A of the TPU decode path."""
+    the uncompressed size. Phase A of the TPU decode path. With dict_len,
+    positions come out in the dict-extended output space [0, dict_len+size)
+    so dictionary-reaching match sources stay non-negative."""
     import numpy as np
 
     from ..format import FormatError
@@ -240,7 +242,7 @@ def tokenize_block(payload: bytes, ext: bool):
     n = lib.tsq_tokenize_block(
         padded, len(payload), 1 if ext else 0,
         dst.ctypes.data, src.ctypes.data, ln.ctypes.data, lit.ctypes.data,
-        max_tokens, ctypes.byref(size))
+        max_tokens, ctypes.byref(size), dict_len)
     if n < 0:
         raise FormatError(f"tokenize failed (code {n})")
     return (dst[:n].astype(np.int32), src[:n].astype(np.int32),
