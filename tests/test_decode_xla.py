@@ -99,3 +99,19 @@ def test_matches_native_decoder_on_reference_stream(golden_harness, tmp_path):
     _, payload, ext = next(iter(iter_container(stream)))
     got = _decode_via_xla([(payload, ext)])
     assert got[0] == data
+
+
+def test_device_path_rejects_corrupt_streams():
+    """Corrupt containers fail loudly through the device pipeline (the
+    tokenizer validates structure before anything ships to the mesh)."""
+    from turbosqueeze_tpu.format import FormatError
+    from turbosqueeze_tpu.parallel import pipeline
+    from turbosqueeze_tpu.runtime import native
+
+    data = synthetic_text(100_000, seed=55)
+    stream = bytearray(native.compress(data, True))
+    with pytest.raises(FormatError):
+        pipeline.decompress(bytes(stream[:40]))  # truncated
+    bad = bytes(stream[:16]) + b"\xff\xff\x7f" + bytes(stream[19:])
+    with pytest.raises(FormatError):
+        pipeline.decompress(bad)  # block header claims a huge payload
