@@ -173,6 +173,10 @@ def _decode_pairs_kernel(tok_a_ref, tok_b_ref, payload_hbm, out_hbm,
         tt = val8 & m8
         vrows = tt[0:3, :] | tt[3:6, :]
         mrows = m8[0:3, :] | m8[3:6, :]
+        # All three rows are written unconditionally: predicating the third
+        # (only needed when the pair straddles a row boundary) measured no
+        # faster within run-to-run variance — the RMWs overlap the crossbar
+        # pass in the pipelined pair loop, so they are not the bottleneck.
         for j in range(3):
             cur = u_ref[pl.ds(r1 + j, 1), :]
             u_ref[pl.ds(r1 + j, 1), :] = (
