@@ -1,0 +1,181 @@
+"""Fused on-chip decode: bitstream parse + reconstruction in one kernel.
+
+decode_tokens.py runs reconstruction (phase B) from host-parsed token
+chunks. This kernel goes further: the RAW PAYLOAD is the only input — the
+scalar unit parses the .tsq bitstream (control bits, size nibbles, offsets;
+tsq_decode.cpp:42-315 semantics) out of small SMEM windows DMA'd ahead of
+the parse cursor, while the vector unit reconstructs each format pair with
+the shared single-crossbar pass (_reconstruct_pair). Host work drops to
+the 3-byte container scan, and the device upload shrinks to the compressed
+payload itself (token chunks are ~6x larger on dense streams).
+
+Parse state rides the lax.while_loop carry (cursor, write frontier, parse
+window bookkeeping); one iteration = one control group (8 symbols, <= 133
+payload bytes). A four-slot SMEM window ring keeps ~2 windows of prefetch
+lead ahead of the parse cursor. Trailing pad symbols of the final group parse as
+garbage tokens, which is safe by construction: their destinations lie at
+or beyond the declared size and every write is byte-masked, so decoded
+bytes are never touched (the same tolerance the upstream decoder has).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .decode_tokens import (
+    LANES,
+    OUT_ROWS,
+    ROW_BYTES,
+    _PairConsts,
+    _reconstruct_pair,
+)
+
+_WIN_ROWS = 4                        # 2 KiB scalar parse window
+_WIN_BYTES = _WIN_ROWS * ROW_BYTES
+_GROUP_SLACK = 160                   # max group consumption (133) + margin
+
+
+def _decode_stream_kernel(meta_ref, payload_hbm, out_hbm, u_ref, pwin_ref,
+                          sem_in, sem_out, sem_w, *, pay_rows, out_rows):
+    b = pl.program_id(0)
+    u_rows = pay_rows + out_rows
+    pay_bytes = pay_rows * ROW_BYTES
+    ext = meta_ref[b, 0]
+    size = meta_ref[b, 1]
+    cs = _PairConsts()
+
+    # vector-source copy of the whole payload (literal/match reads)
+    din = pltpu.make_async_copy(
+        payload_hbm.at[b], u_ref.at[pl.ds(0, pay_rows)], sem_in)
+    din.start()
+
+    def win_copy(w):
+        row0 = jnp.minimum(w * _WIN_ROWS, pay_rows - _WIN_ROWS)
+        return pltpu.make_async_copy(
+            payload_hbm.at[b, pl.ds(row0, _WIN_ROWS)],
+            pwin_ref.at[w & 3], sem_w.at[w & 3])
+
+    win_copy(0).start()
+    win_copy(1).start()
+    win_copy(2).start()
+    win_copy(0).wait()
+    din.wait()
+
+    def byte_at(i):
+        # 2 KiB windows ride a 4-slot ring addressed by window index mod 4,
+        # so any byte inside the resident windows resolves by i alone
+        slot = (i >> 11) & 3
+        off = i & (_WIN_BYTES - 1)
+        w = pwin_ref[slot, off >> 9, (off >> 2) & (LANES - 1)]
+        return (w >> ((i & 3) * 8)) & 0xFF
+
+    def cond(c):
+        return c[1] < size
+
+    def group(c):
+        i, j, waited = c
+
+        # Window ring invariant: windows [0, waited] are complete, windows
+        # (waited, waited+2] are in flight, and a slot is only overwritten
+        # three windows after the parse cursor leaves it. hi_w advances at
+        # most one window per group (a group consumes <= 133 bytes), so a
+        # single advance step per group maintains the invariant with ~2
+        # windows of prefetch lead.
+        hi_w = (i + _GROUP_SLACK - 1) >> 11
+
+        def advance(st):
+            i_, w_ = st
+            win_copy(w_ + 1).wait()
+            win_copy(w_ + 3).start()  # overwrites window w_ - 1's slot
+            return i_, w_ + 1
+
+        i, waited = jax.lax.cond(hi_w > waited, advance, lambda st: st,
+                                 (i, waited))
+
+        ctrl = byte_at(i)
+        i += 1
+        for pair_ix in range(4):
+            size_byte = byte_at(i)
+            i += 1
+            anchor = j
+
+            def symbol(i, j, half):
+                nib = jnp.where(half == 0, size_byte >> 4, size_byte & 15)
+                is_lit = (ctrl >> (7 - pair_ix * 2 - half)) & 1
+                lit_sz = nib + 1
+                mat_sz = jnp.where(jnp.logical_and(ext != 0, nib < 3),
+                                   32 + 16 * nib, nib + 1)
+                off = byte_at(i) | (byte_at(i + 1) << 8)
+                src = jnp.where(is_lit == 1, i,
+                                pay_bytes + anchor - off)
+                sz = jnp.where(is_lit == 1, lit_sz, mat_sz)
+                i = i + jnp.where(is_lit == 1, lit_sz, 2)
+                dst_u = pay_bytes + j
+                return i, j + sz, dst_u, sz, jnp.clip(src, 0, None)
+
+            i, j, d1, l1, s1 = symbol(i, j, 0)
+            i, j, d2, l2, s2 = symbol(i, j, 1)
+            _reconstruct_pair(u_ref, u_rows, cs, d1, l1, s1, d2, l2, s2)
+        return i, j, waited
+
+    _, _, waited = jax.lax.while_loop(cond, group, (jnp.int32(3),
+                                                    jnp.int32(0),
+                                                    jnp.int32(0)))
+    # drain the two still-in-flight window prefetches: every DMA must be
+    # waited before the kernel (grid step) ends
+    win_copy(waited + 1).wait()
+    win_copy(waited + 2).wait()
+
+    dout = pltpu.make_async_copy(
+        u_ref.at[pl.ds(pay_rows, out_rows)], out_hbm.at[b], sem_out)
+    dout.start()
+    dout.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_rows"))
+def decode_stream_batch(payload_words, meta, *, interpret=False,
+                        out_rows: int = OUT_ROWS):
+    """Decode a batch of blocks from RAW payload words — no token input.
+
+    payload_words: (B, pay_rows, 128) i32 zero-padded compressed payloads.
+    meta: (B, 8) i32 with [ext, declared_size, 0...] per block.
+    Returns (B, out_rows, 128) i32 decoded words (callers slice to size).
+    """
+    B = payload_words.shape[0]
+    pay_rows = payload_words.shape[1]
+    kernel = functools.partial(_decode_stream_kernel, pay_rows=pay_rows,
+                               out_rows=out_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B, 8) meta
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((pay_rows + out_rows, LANES), jnp.int32),
+            pltpu.SMEM((4, _WIN_ROWS, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(meta, payload_words)
+
+
+def pack_meta(payloads_ext, sizes) -> np.ndarray:
+    """(ext, size) scalars per block for decode_stream_batch."""
+    B = len(payloads_ext)
+    meta = np.zeros((B, 8), dtype=np.int32)
+    for k, (ext, size) in enumerate(zip(payloads_ext, sizes)):
+        meta[k, 0] = 1 if ext else 0
+        meta[k, 1] = size
+    return meta

@@ -68,6 +68,106 @@ _LEN_SHIFT = 24
 _LEN_MASK = (1 << 7) - 1
 
 
+class _PairConsts:
+    """Iota tiles shared by every pair-reconstruction call."""
+
+    def __init__(self):
+        self.lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+        self.row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        self.half8 = (self.row8 >> 1) & 1   # +1-view rows within each token
+        self.tok_hi = self.row8 >= 4        # token-2 rows of the gather tile
+        self.byte_hi = self.row8[0:4, :] >= 2  # token-2 value-stack rows
+
+
+def _reconstruct_pair(u_ref, u_rows, cs, dst1, ln1, s1, dst2, ln2, s2):
+    """All byte movement for one format pair: scalar (dst, ln, src) fields
+    (unified byte coordinates) in, three masked row RMWs out. One crossbar
+    pass per call. Shared by the token-chunk kernel and the fused
+    stream-parsing kernel."""
+    lane8, row8 = cs.lane8, cs.row8
+    half8, tok_hi, byte_hi = cs.half8, cs.tok_hi, cs.byte_hi
+
+    def fields(dst, s):
+        delta = s - dst
+        omega8 = (delta & 3) * 8            # byte phase within the word
+        src_row = jnp.clip(s >> 9, 0, u_rows - 2)
+        # lane delta C: dest lane q reads window lane q + C (mod 256)
+        cc = (dst >> 9) * LANES + (delta >> 2) - src_row * LANES
+        return omega8, src_row, cc
+
+    om1, srow1, c1 = fields(dst1, s1)
+    om2, srow2, c2 = fields(dst2, s2)
+
+    win1 = u_ref[pl.ds(srow1, 2), :]
+    win2 = u_ref[pl.ds(srow2, 2), :]
+    # rows: lo1 hi1 lo1 hi1 lo2 hi2 lo2 hi2
+    stack = jnp.concatenate([win1, win1, win2, win2], axis=0)
+
+    # one crossbar pass: rotations by C and C+1 for both tokens
+    cvec = jnp.where(tok_hi, c2, c1) + half8
+    shifted = lane8 + cvec
+    g = jnp.take_along_axis(stack, shifted & (LANES - 1), axis=1)
+    wsel = (shifted & 255) < LANES      # window lane < 128 -> lo row
+
+    # images: A = dest row r_i, B = dest row r_i + 1 (window lane +128)
+    def images(lo, hi, w):
+        return jnp.where(w, lo, hi), jnp.where(w, hi, lo)
+
+    a1im, b1im = images(g[0:1], g[1:2], wsel[0:1])
+    a1p, b1p = images(g[2:3], g[3:4], wsel[2:3])
+    a2im, b2im = images(g[4:5], g[5:6], wsel[4:5])
+    a2p, b2p = images(g[6:7], g[7:8], wsel[6:7])
+
+    # byte-align across word boundaries: elementwise dual shift (cheap)
+    ab = jnp.concatenate([a1im, b1im, a2im, b2im], axis=0)
+    abp = jnp.concatenate([a1p, b1p, a2p, b2p], axis=0)
+    om = jnp.where(byte_hi, om2, om1)
+    val4 = jnp.where(
+        om == 0, ab,
+        jax.lax.shift_right_logical(ab, om)
+        | jax.lax.shift_left(abp, 32 - jnp.maximum(om, 8)))
+
+    # destination rows r1..r1+2 cover both tokens (dst2 = dst1 + ln1):
+    # the mask tile's rows are (X, token) combos — rows 0-2 pair token 1
+    # with X = r1..r1+2, rows 3-5 token 2, rows 6-7 dead (ln forced 0).
+    r1 = jnp.clip(dst1 >> 9, 0, u_rows - 3)
+    m_hi = jnp.logical_and(row8 >= 3, row8 < 6)
+    rvec = jnp.where(m_hi, dst2 >> 9, dst1 >> 9)
+    xvec = jnp.where(row8 < 6, r1 + row8 % 3, -1)
+    dstv = jnp.where(m_hi, dst2, dst1)
+    lnv = jnp.where(row8 < 6, jnp.where(m_hi, ln2, ln1), 0)
+
+    # value for (row X, token i): aligned image A if X == r_i else B;
+    # the byte masks below zero every non-overlapping combination.
+    va = jnp.concatenate([val4[0:1], val4[0:1], val4[0:1],
+                          val4[2:3], val4[2:3], val4[2:3],
+                          val4[0:1], val4[0:1]], axis=0)
+    vb = jnp.concatenate([val4[1:2], val4[1:2], val4[1:2],
+                          val4[3:4], val4[3:4], val4[3:4],
+                          val4[1:2], val4[1:2]], axis=0)
+    val8 = jnp.where(xvec == rvec, va, vb)
+
+    # per-byte masks: global byte positions [dst, dst+ln) within row X
+    base = xvec * ROW_BYTES + lane8 * 4
+    m8 = jnp.zeros((8, LANES), jnp.int32)
+    for kk in range(4):
+        pos = base + kk
+        inside = jnp.logical_and(pos >= dstv, pos < dstv + lnv)
+        m8 = m8 | jnp.where(inside, jnp.int32(0xFF) << (8 * kk), 0)
+
+    tt = val8 & m8
+    vrows = tt[0:3, :] | tt[3:6, :]
+    mrows = m8[0:3, :] | m8[3:6, :]
+    # All three rows are written unconditionally: predicating the third
+    # (only needed when the pair straddles a row boundary) measured no
+    # faster within run-to-run variance — the RMWs overlap the crossbar
+    # pass in the pipelined pair loop, so they are not the bottleneck.
+    for j in range(3):
+        cur = u_ref[pl.ds(r1 + j, 1), :]
+        u_ref[pl.ds(r1 + j, 1), :] = (
+            (cur & ~mrows[j:j + 1, :]) | vrows[j:j + 1, :])
+
+
 def _decode_pairs_kernel(tok_a_ref, tok_b_ref, payload_hbm, out_hbm,
                          u_ref, sem_in, sem_out, *, pay_rows, out_rows):
     """Execute one chunk of token pairs against the unified block buffer."""
@@ -84,12 +184,7 @@ def _decode_pairs_kernel(tok_a_ref, tok_b_ref, payload_hbm, out_hbm,
         din.wait()
 
     n = tok_a_ref[0, 0, 0, 0]
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-    row4 = row8[0:4, :]
-    half8 = (row8 >> 1) & 1                 # +1-view rows within each token
-    tok_hi = row8 >= 4                      # token-2 rows of the gather tile
-    byte_hi = row4 >= 2                     # token-2 rows of the value stack
+    cs = _PairConsts()
 
     def pair(k, _):
         t = 1 + 2 * k
@@ -99,88 +194,9 @@ def _decode_pairs_kernel(tok_a_ref, tok_b_ref, payload_hbm, out_hbm,
         live2 = t2 <= n
         a2 = jnp.where(live2, tok_a_ref[0, 0, t2 >> 7, t2 & 127], 0)
         s2 = jnp.where(live2, tok_b_ref[0, 0, t2 >> 7, t2 & 127], 0)
-
-        def fields(a, s):
-            dst = a & _DST_MASK
-            ln = (a >> _LEN_SHIFT) & _LEN_MASK
-            delta = s - dst
-            omega8 = (delta & 3) * 8        # byte phase within the word
-            src_row = jnp.clip(s >> 9, 0, u_rows - 2)
-            # lane delta C: dest lane q reads window lane q + C (mod 256)
-            cc = (dst >> 9) * LANES + (delta >> 2) - src_row * LANES
-            return dst, ln, omega8, src_row, cc
-
-        dst1, ln1, om1, srow1, c1 = fields(a1, s1)
-        dst2, ln2, om2, srow2, c2 = fields(a2, s2)
-
-        win1 = u_ref[pl.ds(srow1, 2), :]
-        win2 = u_ref[pl.ds(srow2, 2), :]
-        # rows: lo1 hi1 lo1 hi1 lo2 hi2 lo2 hi2
-        stack = jnp.concatenate([win1, win1, win2, win2], axis=0)
-
-        # one crossbar pass: rotations by C and C+1 for both tokens
-        cvec = jnp.where(tok_hi, c2, c1) + half8
-        shifted = lane8 + cvec
-        g = jnp.take_along_axis(stack, shifted & (LANES - 1), axis=1)
-        wsel = (shifted & 255) < LANES      # window lane < 128 -> lo row
-
-        # images: A = dest row r_i, B = dest row r_i + 1 (window lane +128)
-        def images(lo, hi, w):
-            return jnp.where(w, lo, hi), jnp.where(w, hi, lo)
-
-        a1im, b1im = images(g[0:1], g[1:2], wsel[0:1])
-        a1p, b1p = images(g[2:3], g[3:4], wsel[2:3])
-        a2im, b2im = images(g[4:5], g[5:6], wsel[4:5])
-        a2p, b2p = images(g[6:7], g[7:8], wsel[6:7])
-
-        # byte-align across word boundaries: elementwise dual shift (cheap)
-        ab = jnp.concatenate([a1im, b1im, a2im, b2im], axis=0)
-        abp = jnp.concatenate([a1p, b1p, a2p, b2p], axis=0)
-        om = jnp.where(byte_hi, om2, om1)
-        val4 = jnp.where(
-            om == 0, ab,
-            jax.lax.shift_right_logical(ab, om)
-            | jax.lax.shift_left(abp, 32 - jnp.maximum(om, 8)))
-
-        # destination rows r1..r1+2 cover both tokens (dst2 = dst1 + ln1):
-        # the mask tile's rows are (X, token) combos — rows 0-2 pair token 1
-        # with X = r1..r1+2, rows 3-5 token 2, rows 6-7 dead (ln forced 0).
-        r1 = jnp.clip(dst1 >> 9, 0, u_rows - 3)
-        m_hi = jnp.logical_and(row8 >= 3, row8 < 6)
-        rvec = jnp.where(m_hi, dst2 >> 9, dst1 >> 9)
-        xvec = jnp.where(row8 < 6, r1 + row8 % 3, -1)
-        dstv = jnp.where(m_hi, dst2, dst1)
-        lnv = jnp.where(row8 < 6, jnp.where(m_hi, ln2, ln1), 0)
-
-        # value for (row X, token i): aligned image A if X == r_i else B;
-        # the byte masks below zero every non-overlapping combination.
-        va = jnp.concatenate([val4[0:1], val4[0:1], val4[0:1],
-                              val4[2:3], val4[2:3], val4[2:3],
-                              val4[0:1], val4[0:1]], axis=0)
-        vb = jnp.concatenate([val4[1:2], val4[1:2], val4[1:2],
-                              val4[3:4], val4[3:4], val4[3:4],
-                              val4[1:2], val4[1:2]], axis=0)
-        val8 = jnp.where(xvec == rvec, va, vb)
-
-        # per-byte masks: global byte positions [dst, dst+ln) within row X
-        base = xvec * ROW_BYTES + lane8 * 4
-        m8 = jnp.zeros((8, LANES), jnp.int32)
-        for kk in range(4):
-            pos = base + kk
-            inside = jnp.logical_and(pos >= dstv, pos < dstv + lnv)
-            m8 = m8 | jnp.where(inside, jnp.int32(0xFF) << (8 * kk), 0)
-
-        tt = val8 & m8
-        vrows = tt[0:3, :] | tt[3:6, :]
-        mrows = m8[0:3, :] | m8[3:6, :]
-        # All three rows are written unconditionally: predicating the third
-        # (only needed when the pair straddles a row boundary) measured no
-        # faster within run-to-run variance — the RMWs overlap the crossbar
-        # pass in the pipelined pair loop, so they are not the bottleneck.
-        for j in range(3):
-            cur = u_ref[pl.ds(r1 + j, 1), :]
-            u_ref[pl.ds(r1 + j, 1), :] = (
-                (cur & ~mrows[j:j + 1, :]) | vrows[j:j + 1, :])
+        _reconstruct_pair(u_ref, u_rows, cs,
+                          a1 & _DST_MASK, (a1 >> _LEN_SHIFT) & _LEN_MASK, s1,
+                          a2 & _DST_MASK, (a2 >> _LEN_SHIFT) & _LEN_MASK, s2)
         return 0
 
     jax.lax.fori_loop(0, (n + 1) >> 1, pair, 0, unroll=False)

@@ -36,6 +36,7 @@ from ..format import (
     scan_block_table,
     split_blocks,
 )
+from ..kernels import decode_stream as DST
 from ..kernels import decode_tokens as DK
 from ..kernels import decode_xla as DXL
 from ..kernels import encode_xla
@@ -200,6 +201,45 @@ def _sharded_decode_xla(mesh: Mesh, n_out: int = DXL.OUT_N):
     return run
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_decode_stream(mesh: Mesh):
+    """jit(shard_map(fused parse+reconstruct kernel)) over the block axis."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, spec), out_specs=spec,
+                       check_vma=False)
+    def run(payload_words, meta):
+        return DST.decode_stream_batch(payload_words, meta,
+                                       interpret=jax.default_backend()
+                                       == "cpu")
+
+    return run
+
+
+def _decode_window_stream(stream, table_window, mesh: Mesh) -> List[bytes]:
+    """Decode one window of blocks via the fused on-chip parser — no host
+    tokenization at all; the raw payloads are the only device input."""
+    n = len(table_window)
+    n_dev = mesh.devices.size
+    B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+    payload_words = np.zeros((B, DK.PAY_ROWS, DK.LANES), dtype=np.int32)
+    exts, sizes = [], []
+    for b, (off, psz, ext) in enumerate(table_window):
+        payload = stream[off:off + psz]
+        payload_words[b] = DK.pack_payload_words(payload)
+        exts.append(ext)
+        sizes.append(payload[0] | (payload[1] << 8) | (payload[2] << 16)
+                     if psz >= 3 else 0)
+    meta = DST.pack_meta(exts + [False] * (B - n), sizes + [0] * (B - n))
+    sharding = mesh_mod.block_sharding(mesh)
+    host = _to_host(_sharded_decode_stream(mesh)(
+        _device_put(payload_words, sharding), _device_put(meta, sharding)))
+    return [host[b].reshape(-1).view("<u1")[:sizes[b]].tobytes()
+            for b in range(n)]
+
+
 _DICT_PAD = 1 << 16  # dict-extended output/payload headroom (bucketed)
 
 
@@ -254,11 +294,12 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
                dictionary: Optional[bytes] = None) -> bytes:
     """Full device decode -> ordered host assembly (the writer-thread role).
 
-    impl: 'pallas' = the VMEM token-walk kernel (production path on TPU,
-    where elementwise XLA gathers are crossbar-bound); 'xla' = the portable
-    scatter/gather + pointer-doubling formulation (fast path on CPU meshes,
-    and on any backend with fast elementwise gathers); 'auto' picks by
-    backend.
+    impl: 'stream' = the fused on-chip parser (TPU production path: the
+    raw payload is the only device input — phase A AND B on chip);
+    'pallas' = the token-chunk kernel (host tokenize + on-chip byte
+    movement; handles dictionaries); 'xla' = the portable scatter/gather +
+    pointer-doubling formulation (fast path on CPU meshes and any backend
+    with fast elementwise gathers); 'auto' picks by backend.
 
     Blocks stream through the mesh in windows (default 4 rounds of the
     device count) so arbitrarily long containers decode in bounded host and
@@ -270,7 +311,13 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     from ..format import FormatError
 
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() != "tpu":
+            impl = "xla"
+        else:  # the fused parser has no dictionary staging (yet)
+            impl = "pallas" if dictionary else "stream"
+    if impl == "stream" and dictionary:
+        raise ValueError("impl='stream' does not support dictionaries; "
+                         "use 'pallas' or 'xla'")
     if mesh is None:
         mesh = mesh_mod.block_mesh()
     interpret = interpret or jax.default_backend() == "cpu"
@@ -281,8 +328,13 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     hdr, table = scan_block_table(stream)
     parts: List[bytes] = []
     for lo in range(0, len(table), window_blocks):
-        parsed, _ = _tokenize_all(stream, table[lo:lo + window_blocks],
-                                  dictionary)
+        win = table[lo:lo + window_blocks]
+        if not win:
+            continue
+        if impl == "stream":
+            parts.extend(_decode_window_stream(stream, win, mesh))
+            continue
+        parsed, _ = _tokenize_all(stream, win, dictionary)
         if impl == "xla":
             parts.extend(_decode_window_xla(parsed, mesh, base))
         else:
