@@ -90,7 +90,8 @@ def build_reference(tmp: Path):
 
 
 def bench_tpu_kernel(data: bytes, native) -> float:
-    """On-chip decode kernel MB/s/chip, measured by the batch-slope method.
+    """On-chip FUSED decode (raw payload -> bytes, kernels/decode_stream.py)
+    MB/s/chip, measured by the batch-slope method.
 
     Per-call timings through a tunneled runtime carry a large fixed
     dispatch/sync overhead (and async timings without a real result fetch
@@ -102,42 +103,37 @@ def bench_tpu_kernel(data: bytes, native) -> float:
     import jax.numpy as jnp
 
     from turbosqueeze_tpu.format import iter_container
+    from turbosqueeze_tpu.kernels import decode_stream as DS
     from turbosqueeze_tpu.kernels import decode_tokens as K
 
     stream = native.compress(data[:16 << 22], True)
-    blocks = list(iter_container(stream))
-    n_chunks = 0
-    parsed = []
-    for _, payload, ext in blocks:
-        dst, src, ln, lit, size = native.tokenize_block(payload, ext)
-        parsed.append((payload, dst, src, ln, lit, size))
-        n_chunks = max(n_chunks, K.n_chunks_for_tokens(len(dst)))
-    n_src = len(parsed)
+    blocks = [(payload, ext) for _, payload, ext in iter_container(stream)]
+    n_src = len(blocks)
+    sizes = [min(len(data) - (k << 22), 1 << 22) for k in range(n_src)]
 
     def make_args(B):
         pw = np.zeros((B, K.PAY_ROWS, K.LANES), np.int32)
-        ta = np.zeros((B, n_chunks, K._SLOT_ROWS, K.LANES), np.int32)
-        tb = np.zeros_like(ta)
-        sz = 0
+        exts, szs = [], []
         for b in range(B):
-            payload, dst, src, ln, lit, size = parsed[b % n_src]
+            payload, ext = blocks[b % n_src]
             pw[b] = K.pack_payload_words(payload)
-            ta[b], tb[b] = K.pack_tokens(dst, src, ln, lit, n_chunks)
-            sz += size
-        return [jax.device_put(x) for x in (pw, ta, tb)], sz
+            exts.append(ext)
+            szs.append(sizes[b % n_src])
+        return ([jax.device_put(pw),
+                 jax.device_put(DS.pack_meta(exts, szs))], sum(szs))
 
     def timed(B, reps=3):
         args, sz = make_args(B)
-        r = K.decode_tokens_batch(*args)
+        r = DS.decode_stream_batch(*args)
         host = np.asarray(r)
         for b in range(min(B, n_src)):
-            size = parsed[b % n_src][5]
+            size = sizes[b % n_src]
             want = data[(b % n_src) << 22:((b % n_src) << 22) + size]
             got = host[b].reshape(-1).view("<u1")[:size].tobytes()
             assert got == want, f"tpu kernel mismatch on block {b}"
         t0 = time.perf_counter()
         for _ in range(reps):
-            r = K.decode_tokens_batch(*args)
+            r = DS.decode_stream_batch(*args)
             np.asarray(jax.device_get(jnp.reshape(r, (-1,))[:1]))
         return (time.perf_counter() - t0) / reps, sz
 
