@@ -71,12 +71,13 @@ def test_pipeline_stream_impl_multiblock():
     assert pipeline.decompress(stream, impl="stream") == data
 
 
-def test_stream_impl_rejects_dictionary():
+def test_stream_impl_dictionary():
+    """The fused parser stages the replicated dictionary at the head of the
+    output region (the on-chip guard-region decode)."""
     from turbosqueeze_tpu.parallel import pipeline
     from turbosqueeze_tpu.runtime import native
 
-    d = synthetic_text(1000, seed=113)
-    data = synthetic_text(50_000, seed=114)
+    d = synthetic_text(33_000, seed=113)
+    data = synthetic_text(150_000, seed=114)
     stream = native.compress_dict(data, d, True)
-    with pytest.raises(ValueError):
-        pipeline.decompress(stream, impl="stream", dictionary=d)
+    assert pipeline.decompress(stream, impl="stream", dictionary=d) == data

@@ -41,19 +41,30 @@ _WIN_BYTES = _WIN_ROWS * ROW_BYTES
 _GROUP_SLACK = 160                   # max group consumption (133) + margin
 
 
-def _decode_stream_kernel(meta_ref, payload_hbm, out_hbm, u_ref, pwin_ref,
-                          sem_in, sem_out, sem_w, *, pay_rows, out_rows):
+def _decode_stream_kernel(meta_ref, payload_hbm, dict_hbm, out_hbm, u_ref,
+                          pwin_ref, sem_in, sem_out, sem_w, sem_d, *,
+                          pay_rows, out_rows, dict_rows):
     b = pl.program_id(0)
     u_rows = pay_rows + out_rows
     pay_bytes = pay_rows * ROW_BYTES
     ext = meta_ref[b, 0]
     size = meta_ref[b, 1]
+    dict_len = meta_ref[b, 2]
     cs = _PairConsts()
 
     # vector-source copy of the whole payload (literal/match reads)
     din = pltpu.make_async_copy(
         payload_hbm.at[b], u_ref.at[pl.ds(0, pay_rows)], sem_in)
     din.start()
+    # preset dictionary (replicated across blocks): staged at the head of
+    # the output region, so match sources reaching before the block hit it
+    # — the on-chip twin of the upstream's reserved guard region
+    # (turbosqueeze.cpp:128-136)
+    if dict_rows:
+        ddma = pltpu.make_async_copy(
+            dict_hbm, u_ref.at[pl.ds(pay_rows, dict_rows)], sem_d)
+        ddma.start()
+        ddma.wait()
 
     def win_copy(w):
         row0 = jnp.minimum(w * _WIN_ROWS, pay_rows - _WIN_ROWS)
@@ -75,8 +86,10 @@ def _decode_stream_kernel(meta_ref, payload_hbm, out_hbm, u_ref, pwin_ref,
         w = pwin_ref[slot, off >> 9, (off >> 2) & (LANES - 1)]
         return (w >> ((i & 3) * 8)) & 0xFF
 
+    size_end = dict_len + size
+
     def cond(c):
-        return c[1] < size
+        return c[1] < size_end
 
     def group(c):
         i, j, waited = c
@@ -125,7 +138,7 @@ def _decode_stream_kernel(meta_ref, payload_hbm, out_hbm, u_ref, pwin_ref,
         return i, j, waited
 
     _, _, waited = jax.lax.while_loop(cond, group, (jnp.int32(3),
-                                                    jnp.int32(0),
+                                                    dict_len,
                                                     jnp.int32(0)))
     # drain the two still-in-flight window prefetches: every DMA must be
     # waited before the kernel (grid step) ends
@@ -139,23 +152,33 @@ def _decode_stream_kernel(meta_ref, payload_hbm, out_hbm, u_ref, pwin_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "out_rows"))
-def decode_stream_batch(payload_words, meta, *, interpret=False,
-                        out_rows: int = OUT_ROWS):
+def decode_stream_batch(payload_words, meta, dict_words=None, *,
+                        interpret=False, out_rows: int = OUT_ROWS):
     """Decode a batch of blocks from RAW payload words — no token input.
 
     payload_words: (B, pay_rows, 128) i32 zero-padded compressed payloads.
-    meta: (B, 8) i32 with [ext, declared_size, 0...] per block.
-    Returns (B, out_rows, 128) i32 decoded words (callers slice to size).
+    meta: (B, 8) i32 with [ext, declared_size, dict_len, 0...] per block.
+    dict_words: optional (dict_rows, 128) i32 preset dictionary, shared by
+    every block in the batch (the BASELINE 'dictionary broadcast': under
+    shard_map it is replicated across the mesh). Decoded bytes follow the
+    staged dictionary — callers slice [dict_len : dict_len + size].
+    Returns (B, out_rows, 128) i32 decoded words.
     """
     B = payload_words.shape[0]
     pay_rows = payload_words.shape[1]
+    if dict_words is None:
+        dict_words = jnp.zeros((8, LANES), jnp.int32)
+        dict_rows = 0
+    else:
+        dict_rows = dict_words.shape[0]
     kernel = functools.partial(_decode_stream_kernel, pay_rows=pay_rows,
-                               out_rows=out_rows)
+                               out_rows=out_rows, dict_rows=dict_rows)
     return pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B, 8) meta
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -166,16 +189,27 @@ def decode_stream_batch(payload_words, meta, *, interpret=False,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(meta, payload_words)
+    )(meta, payload_words, dict_words)
 
 
-def pack_meta(payloads_ext, sizes) -> np.ndarray:
-    """(ext, size) scalars per block for decode_stream_batch."""
+def pack_meta(payloads_ext, sizes, dict_len: int = 0) -> np.ndarray:
+    """(ext, size, dict_len) scalars per block for decode_stream_batch."""
     B = len(payloads_ext)
     meta = np.zeros((B, 8), dtype=np.int32)
     for k, (ext, size) in enumerate(zip(payloads_ext, sizes)):
         meta[k, 0] = 1 if ext else 0
         meta[k, 1] = size
+        meta[k, 2] = dict_len
     return meta
+
+
+def pack_dict_words(dictionary: bytes) -> np.ndarray:
+    """Preset dictionary -> zero-padded (rows, 128) i32 words."""
+    rows = max(-(-len(dictionary) // ROW_BYTES), 1)
+    rows = -(-rows // 8) * 8
+    buf = np.zeros(rows * ROW_BYTES, dtype=np.uint8)
+    buf[:len(dictionary)] = np.frombuffer(dictionary, dtype=np.uint8)
+    return buf.view("<i4").reshape(rows, LANES)

@@ -203,27 +203,31 @@ def _sharded_decode_xla(mesh: Mesh, n_out: int = DXL.OUT_N):
 
 @functools.lru_cache(maxsize=8)
 def _sharded_decode_stream(mesh: Mesh):
-    """jit(shard_map(fused parse+reconstruct kernel)) over the block axis."""
+    """jit(shard_map(fused parse+reconstruct kernel)) over the block axis;
+    the preset dictionary rides REPLICATED (the BASELINE broadcast)."""
     spec = P(mesh_mod.BLOCK_AXIS)
 
     @jax.jit
     @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(spec, spec), out_specs=spec,
+                       in_specs=(spec, spec, P()), out_specs=spec,
                        check_vma=False)
-    def run(payload_words, meta):
-        return DST.decode_stream_batch(payload_words, meta,
+    def run(payload_words, meta, dict_words):
+        return DST.decode_stream_batch(payload_words, meta, dict_words,
                                        interpret=jax.default_backend()
                                        == "cpu")
 
     return run
 
 
-def _decode_window_stream(stream, table_window, mesh: Mesh) -> List[bytes]:
+def _decode_window_stream(stream, table_window, mesh: Mesh,
+                          dictionary: Optional[bytes] = None) -> List[bytes]:
     """Decode one window of blocks via the fused on-chip parser — no host
-    tokenization at all; the raw payloads are the only device input."""
+    tokenization at all; the raw payloads are the only device input (plus
+    the replicated preset dictionary when one is in play)."""
     n = len(table_window)
     n_dev = mesh.devices.size
     B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+    dlen = len(dictionary) if dictionary else 0
     payload_words = np.zeros((B, DK.PAY_ROWS, DK.LANES), dtype=np.int32)
     exts, sizes = [], []
     for b, (off, psz, ext) in enumerate(table_window):
@@ -232,11 +236,15 @@ def _decode_window_stream(stream, table_window, mesh: Mesh) -> List[bytes]:
         exts.append(ext)
         sizes.append(payload[0] | (payload[1] << 8) | (payload[2] << 16)
                      if psz >= 3 else 0)
-    meta = DST.pack_meta(exts + [False] * (B - n), sizes + [0] * (B - n))
+    meta = DST.pack_meta(exts + [False] * (B - n), sizes + [0] * (B - n),
+                         dict_len=dlen)
+    dict_words = (DST.pack_dict_words(dictionary) if dictionary
+                  else np.zeros((8, DK.LANES), np.int32))
     sharding = mesh_mod.block_sharding(mesh)
     host = _to_host(_sharded_decode_stream(mesh)(
-        _device_put(payload_words, sharding), _device_put(meta, sharding)))
-    return [host[b].reshape(-1).view("<u1")[:sizes[b]].tobytes()
+        _device_put(payload_words, sharding), _device_put(meta, sharding),
+        jax.device_put(dict_words, mesh_mod.replicated(mesh))))
+    return [host[b].reshape(-1).view("<u1")[dlen:dlen + sizes[b]].tobytes()
             for b in range(n)]
 
 
@@ -311,13 +319,7 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     from ..format import FormatError
 
     if impl == "auto":
-        if jax.default_backend() != "tpu":
-            impl = "xla"
-        else:  # the fused parser has no dictionary staging (yet)
-            impl = "pallas" if dictionary else "stream"
-    if impl == "stream" and dictionary:
-        raise ValueError("impl='stream' does not support dictionaries; "
-                         "use 'pallas' or 'xla'")
+        impl = "stream" if jax.default_backend() == "tpu" else "xla"
     if mesh is None:
         mesh = mesh_mod.block_mesh()
     interpret = interpret or jax.default_backend() == "cpu"
@@ -332,7 +334,8 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
         if not win:
             continue
         if impl == "stream":
-            parts.extend(_decode_window_stream(stream, win, mesh))
+            parts.extend(_decode_window_stream(stream, win, mesh,
+                                               dictionary))
             continue
         parsed, _ = _tokenize_all(stream, win, dictionary)
         if impl == "xla":
