@@ -245,7 +245,7 @@ def _decode_window_stream(stream, table_window, mesh: Mesh,
     sharding = mesh_mod.block_sharding(mesh)
     host = _to_host(_sharded_decode_stream(mesh)(
         _device_put(payload_words, sharding), _device_put(meta, sharding),
-        jax.device_put(dict_words, mesh_mod.replicated(mesh))))
+        _device_put(dict_words, mesh_mod.replicated(mesh))))
     return [host[b].reshape(-1).view("<u1")[dlen:dlen + sizes[b]].tobytes()
             for b in range(n)]
 
@@ -380,7 +380,7 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
     if dictionary is not None:
         dlen = len(dictionary)
         dict_u8 = np.frombuffer(dictionary, np.uint8)
-        dict_dev = jax.device_put(dict_u8, mesh_mod.replicated(mesh))
+        dict_dev = _device_put(dict_u8, mesh_mod.replicated(mesh))
 
     parts = [ContainerHeader(len(blocks), len(data)).pack()]
     sharding = mesh_mod.block_sharding(mesh)
