@@ -153,13 +153,14 @@ def main():
     mb = len(data) / 1e6
 
     # --- ours: encode (levels 0/1) + decode, host MT path -------------------
-    # best-of-two warm passes: the bench host has pathologically slow
-    # first-touch page faults (~15 MB/s memcpy on fresh pages vs 800+ warm),
-    # so single-shot timings measure the VM memory subsystem, not the codec.
+    # best-of-four warm passes: the bench host has pathologically slow and
+    # ERRATIC first-touch page faults (~15 MB/s memcpy on fresh pages vs
+    # 800+ warm, and large buffers are munmapped between passes), so
+    # single-shot timings measure the VM memory subsystem, not the codec.
     # The reference baseline below is taken the same way (harness bc/bd).
     enc_mbps = dec_mbps = 0.0
     stream = out = None
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         stream = native.compress(data, True, level=0)
         t1 = time.perf_counter()

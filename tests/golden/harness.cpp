@@ -8,13 +8,13 @@
 //   harness db <0|1 ext> <in> <out>   decode one block payload
 //   harness c  <0|1 ext> <in> <out>   whole-file container compress
 //   harness d  <in> <out>             whole-file container decompress
-//   harness bc <0|1 ext> <in>         MT memory-mode compress bench: runs
-//                                     twice (page-warm), prints best seconds
+//   harness bc <0|1 ext> <in>         MT memory-mode compress bench:
+//                                     best-of-four warm passes, prints secs
 //   harness bd <in>                   MT memory-mode decompress bench, same
-// The b* modes exist for fair same-box baselines: the bench host has slow
-// first-touch page faults, so single-shot process timings measure the
-// memory subsystem, not the codec. Warm best-of-two matches how our own
-// numbers are taken.
+// The b* modes exist for fair same-box baselines: the bench host has slow,
+// erratic first-touch page faults, so single-shot process timings measure
+// the memory subsystem, not the codec. Warm best-of-four matches how our
+// own numbers are taken.
 #include <chrono>
 #include <cstdio>
 #include <cstdlib>
@@ -105,7 +105,7 @@ int main(int argc, char** argv) {
         TSQCompressionContext_MT* ctx = tsqAllocateContextCompression_MT(false);
         double best = 1e30;
         size_t outsz = 0;
-        for (int r = 0; r < 2; ++r) {
+        for (int r = 0; r < 4; ++r) {
             uint8_t* out = nullptr;
             auto t0 = std::chrono::steady_clock::now();
             bool ok = tsqCompress_MT(ctx, in.data(), in.size(), false,
@@ -128,7 +128,7 @@ int main(int argc, char** argv) {
             tsqAllocateContextDecompression_MT(false);
         double best = 1e30;
         size_t outsz = 0;
-        for (int r = 0; r < 2; ++r) {
+        for (int r = 0; r < 4; ++r) {
             uint8_t* out = nullptr;
             auto t0 = std::chrono::steady_clock::now();
             bool ok = tsqDecompress_MT(ctx, in.data(), in.size(), false,
