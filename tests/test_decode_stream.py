@@ -81,3 +81,30 @@ def test_stream_impl_dictionary():
     data = synthetic_text(150_000, seed=114)
     stream = native.compress_dict(data, d, True)
     assert pipeline.decompress(stream, impl="stream", dictionary=d) == data
+
+
+def test_stream_impl_noext_container():
+    from turbosqueeze_tpu.parallel import pipeline
+    from turbosqueeze_tpu.runtime import native
+
+    data = synthetic_binary(300_000, seed=116)
+    stream = native.compress(data, False)
+    assert pipeline.decompress(stream, impl="stream") == data
+
+
+def test_stream_impl_corrupt_stream_safe():
+    """Corrupt payloads decode to garbage without crashing or hanging (the
+    parser's writes are clamped and byte-masked; the container-length check
+    catches the mismatch) — the upstream decoder's tolerance contract."""
+    from turbosqueeze_tpu.format import FormatError
+    from turbosqueeze_tpu.parallel import pipeline
+    from turbosqueeze_tpu.runtime import native
+
+    data = synthetic_text(80_000, seed=117)
+    stream = bytearray(native.compress(data, True))
+    stream[40:80] = bytes(40)  # stomp payload bytes mid-block
+    try:
+        out = pipeline.decompress(bytes(stream), impl="stream")
+        assert len(out) == len(data)  # same length, garbage content OK
+    except FormatError:
+        pass  # declared-length mismatch is also acceptable
