@@ -108,3 +108,21 @@ def test_stream_impl_corrupt_stream_safe():
         assert len(out) == len(data)  # same length, garbage content OK
     except FormatError:
         pass  # declared-length mismatch is also acceptable
+
+
+def test_decompress_to_words_stream_impl():
+    """Device-resident words via the fused parser stay sharded."""
+    from turbosqueeze_tpu.parallel import mesh as mesh_mod
+    from turbosqueeze_tpu.parallel import pipeline
+    from turbosqueeze_tpu.runtime import native
+
+    data = synthetic_text(8 * (1 << 20), seed=118)  # 2 blocks, small
+    stream = native.compress(data, True)
+    mesh = mesh_mod.block_mesh()
+    words, sizes, hdr = pipeline.decompress_to_words(stream, mesh,
+                                                     impl="stream")
+    assert hdr.total_size == len(data)
+    host = np.asarray(words)
+    got = b"".join(host[b].reshape(-1).view("<u1")[:sizes[b]].tobytes()
+                   for b in range(len(sizes)))
+    assert got == data

@@ -137,3 +137,15 @@ def test_close_drains(payloads):
     assert all(j.future.done() for j in jobs)
     with pytest.raises(RuntimeError):
         eng.submit_compress(payloads[0])
+
+
+def test_jobs_compression_levels(payloads):
+    """The level knob flows through the engine; higher levels shrink
+    compressible payloads and roundtrip exactly."""
+    data = payloads[0] * 8
+    with JobEngine(n_workers=2) as eng:
+        s0 = eng.compress(data, level=0)
+        s2 = eng.compress(data, level=2)
+        assert eng.decompress(s0) == data
+        assert eng.decompress(s2) == data
+    assert len(s2) <= len(s0)

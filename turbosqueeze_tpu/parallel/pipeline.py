@@ -148,12 +148,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def decompress_to_words(stream: bytes, mesh: Optional[Mesh] = None,
-                        interpret: bool = False):
+                        interpret: bool = False, impl: str = "pallas"):
     """Decode a .tsq container on the mesh; returns (words, sizes, header).
 
-    words: (B, OUT_ROWS, 128) i32, sharded over the mesh block axis; block b
-    holds its decoded bytes in row-major little-endian words. B is padded to
-    a multiple of the device count with no-op blocks.
+    words: (B, OUT_ROWS, 128) i32, sharded over the mesh block axis and
+    left ON DEVICE for device-resident consumers; block b holds its decoded
+    bytes in row-major little-endian words. B is padded to a multiple of
+    the device count with no-op blocks. impl 'stream' feeds raw payloads to
+    the fused parser (no host tokenization); 'pallas' uses token chunks.
     """
     if mesh is None:
         mesh = mesh_mod.block_mesh()
@@ -161,6 +163,29 @@ def decompress_to_words(stream: bytes, mesh: Optional[Mesh] = None,
     # testing, SURVEY.md §4); on TPU they compile via Mosaic.
     interpret = interpret or jax.default_backend() == "cpu"
     hdr, table = scan_block_table(stream)
+
+    if impl == "stream":
+        n = len(table)
+        n_dev = mesh.devices.size
+        B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+        payload_words = np.zeros((B, DK.PAY_ROWS, DK.LANES), dtype=np.int32)
+        exts, sizes = [], []
+        for b, (off, psz, ext) in enumerate(table):
+            payload = stream[off:off + psz]
+            payload_words[b] = DK.pack_payload_words(payload)
+            exts.append(ext)
+            sizes.append(payload[0] | (payload[1] << 8) | (payload[2] << 16)
+                         if psz >= 3 else 0)
+        meta = DST.pack_meta(exts + [False] * (B - n),
+                             sizes + [0] * (B - n))
+        sharding = mesh_mod.block_sharding(mesh)
+        dict_words = np.zeros((8, DK.LANES), np.int32)
+        words = _sharded_decode_stream(mesh)(
+            _device_put(payload_words, sharding),
+            _device_put(meta, sharding),
+            _device_put(dict_words, mesh_mod.replicated(mesh)))
+        return words, sizes, hdr
+
     parsed, max_tokens = _tokenize_all(stream, table)
 
     n = len(parsed)
