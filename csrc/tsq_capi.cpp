@@ -52,9 +52,9 @@ void tsq_build_candidates(const uint8_t* in_padded, uint32_t in_size,
 int64_t tsq_compress_mt_dict(const uint8_t* in, uint64_t in_size,
                              const uint8_t* dict, uint32_t dict_len,
                              uint8_t* out, uint64_t out_capacity, int ext,
-                             int n_threads) {
+                             int n_threads, uint32_t level) {
   return tsq::compress_mt_dict(in, in_size, dict, dict_len, out,
-                               out_capacity, ext != 0, n_threads);
+                               out_capacity, ext != 0, n_threads, level);
 }
 
 int64_t tsq_decompress_mt_dict(const uint8_t* in, uint64_t in_size,
@@ -67,9 +67,10 @@ int64_t tsq_decompress_mt_dict(const uint8_t* in, uint64_t in_size,
 
 int64_t tsq_encode_block_dict(const uint8_t* concat_padded,
                               uint32_t dict_len, uint32_t in_size,
-                              const int32_t* cand, uint8_t* out, int ext) {
+                              const int32_t* cand, uint8_t* out, int ext,
+                              uint32_t level) {
   return tsq::encode_block_dict(concat_padded, dict_len, in_size, cand, out,
-                                ext != 0);
+                                ext != 0, level);
 }
 
 int64_t tsq_decode_block_dict(const uint8_t* in_padded, uint64_t in_size,

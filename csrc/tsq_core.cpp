@@ -459,7 +459,12 @@ uint32_t encode_block_lazy(const uint8_t* in, uint32_t in_size,
 
 uint32_t encode_block_dict(const uint8_t* concat, uint32_t dict_len,
                            uint32_t in_size, const int32_t* cand,
-                           uint8_t* out, bool ext) {
+                           uint8_t* out, bool ext, uint32_t level) {
+  if (level >= 2) {
+    return ext ? encode_lazy_impl<true>(concat, dict_len, in_size, cand, out)
+               : encode_lazy_impl<false>(concat, dict_len, in_size, cand,
+                                         out);
+  }
   return ext
              ? encode_candidates_impl<true>(concat, dict_len, in_size, cand,
                                             out)

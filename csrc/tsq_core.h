@@ -131,11 +131,12 @@ constexpr uint32_t kMaxDict = 65536 - 4;
 
 // Encode with dictionary context. `concat` holds dict_len dictionary bytes
 // followed by in_size block bytes (padded +kEncInSlack zeros); `cand` was
-// built over the whole concat buffer (build_candidates). Uses the candidate
-// parse (the level>=1 path). Returns payload size.
+// built over the whole concat buffer (build_candidates). level <= 1 uses
+// the greedy candidate parse, level >= 2 the lazy best-of-chain parse
+// (same knob as the non-dict emission). Returns payload size.
 uint32_t encode_block_dict(const uint8_t* concat, uint32_t dict_len,
                            uint32_t in_size, const int32_t* cand,
-                           uint8_t* out, bool ext);
+                           uint8_t* out, bool ext, uint32_t level = 1);
 
 // Decode with dictionary context. `out` needs capacity for
 // dict_len + declared size + kDecOutSlack; on success the decoded block
@@ -148,7 +149,7 @@ int64_t decode_block_dict(const uint8_t* in, size_t in_size,
 int64_t compress_mt_dict(const uint8_t* in, size_t in_size,
                          const uint8_t* dict, uint32_t dict_len,
                          uint8_t* out, size_t out_capacity, bool ext,
-                         int n_threads);
+                         int n_threads, uint32_t level = 1);
 int64_t decompress_mt_dict(const uint8_t* in, size_t in_size,
                            const uint8_t* dict, uint32_t dict_len,
                            uint8_t* out, size_t out_capacity, int n_threads);

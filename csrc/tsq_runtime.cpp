@@ -233,7 +233,7 @@ int64_t decompress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
 int64_t compress_mt_dict(const uint8_t* in, size_t in_size,
                          const uint8_t* dict, uint32_t dict_len,
                          uint8_t* out, size_t out_capacity, bool ext,
-                         int n_threads) {
+                         int n_threads, uint32_t level) {
   if (dict_len == 0 || dict_len > kMaxDict) return kErrBadPayload;
   size_t n_blocks = n_blocks_for(in_size);
   if (out_capacity < kContainerHeaderSize) return kErrOutputTooSmall;
@@ -263,7 +263,8 @@ int64_t compress_mt_dict(const uint8_t* in, size_t in_size,
     std::memset(s.concat.data() + dict_len + bsz, 0, kEncInSlack);
     build_candidates(s.concat.data(), dict_len + bsz, s.cand.data());
     uint32_t psz = encode_block_dict(s.concat.data(), dict_len, bsz,
-                                     s.cand.data(), s.out.data(), ext);
+                                     s.cand.data(), s.out.data(), ext,
+                                     level);
     results[b].assign(s.out.data(), s.out.data() + psz);
     return true;
   });

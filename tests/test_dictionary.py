@@ -132,3 +132,42 @@ def test_device_dict_decode_multiblock(native, dictionary):
     data = synthetic_text(2 * (1 << 22) + 4321, seed=98)
     stream = native.compress_dict(data, dictionary, True)
     assert pipeline.decompress(stream, dictionary=dictionary) == data
+
+
+def test_device_dict_decode_stream_widens_output(native, dictionary,
+                                                 monkeypatch):
+    """The fused-parser (stream) window must widen its on-chip output
+    region when a dictionary is staged: writes land at dict-extended
+    positions up to dict_len + size, which overflows the base slack on
+    full blocks (ADVICE r1, high). Shrinking OUT_ROWS makes a small block
+    exercise the same overflow cheaply."""
+    from turbosqueeze_tpu.kernels import decode_tokens as DK
+    from turbosqueeze_tpu.parallel import pipeline
+
+    data = synthetic_text(11_500, seed=99)
+    stream = native.compress_dict(data, dictionary, True)
+    # dict_len + size = ~43.5 KB > 24 rows * 512 B: without the _DICT_PAD
+    # widening the kernel's output region cannot hold the decoded bytes
+    monkeypatch.setattr(DK, "OUT_ROWS", 24)
+    pipeline._sharded_decode_stream.cache_clear()
+    try:
+        assert pipeline.decompress(stream, dictionary=dictionary,
+                                   impl="stream") == data
+    finally:
+        pipeline._sharded_decode_stream.cache_clear()
+
+
+def test_dict_level2_lazy_parse(native, dictionary):
+    """level >= 2 selects the lazy best-of-chain parse in dictionary mode
+    too (ADVICE r1: level used to silently stay greedy with a dict)."""
+    data = synthetic_text(200_000, seed=506)
+    greedy = native.compress_dict(data, dictionary, True, level=1)
+    lazy = native.compress_dict(data, dictionary, True, level=2)
+    assert native.decompress_dict(lazy, dictionary) == data
+    assert len(lazy) < len(greedy)
+
+    from turbosqueeze_tpu.parallel import pipeline
+
+    dev_lazy = pipeline.compress(data, ext=True, level=2,
+                                 dictionary=dictionary)
+    assert dev_lazy == lazy

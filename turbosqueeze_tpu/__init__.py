@@ -20,15 +20,24 @@ from . import format  # noqa: F401
 from .format import BLOCK_SZ, OUTPUT_SZ, FormatError  # noqa: F401
 
 
-def compress(data: bytes, ext: bool = True, backend: str = "auto") -> bytes:
-    """Compress bytes into a .tsq container. Backend: auto|native|oracle|tpu."""
+def compress(data: bytes, ext: bool = True, backend: str = "auto",
+             level: int = 0, dictionary: bytes = None) -> bytes:
+    """Compress bytes into a .tsq container. Backend: auto|native|oracle|tpu.
+
+    level: 0 = upstream-identical greedy parse, 1 = exact candidate parse,
+    >= 2 = lazy best-of-chain (smaller, same format). dictionary: <= 64 KiB
+    preset context shared by every block (framework extension; both ends
+    must supply the same one).
+    """
     from .runtime.api import compress as _compress
 
-    return _compress(data, ext=ext, backend=backend)
+    return _compress(data, ext=ext, backend=backend, level=level,
+                     dictionary=dictionary)
 
 
-def decompress(stream: bytes, backend: str = "auto") -> bytes:
+def decompress(stream: bytes, backend: str = "auto",
+               dictionary: bytes = None) -> bytes:
     """Decompress a .tsq container. Backend: auto|native|oracle|tpu."""
     from .runtime.api import decompress as _decompress
 
-    return _decompress(stream, backend=backend)
+    return _decompress(stream, backend=backend, dictionary=dictionary)

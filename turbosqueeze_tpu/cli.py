@@ -7,8 +7,10 @@ Verb parity with the upstream sample CLI (sample/main.cpp:117-169):
 plus framework verbs:
     tsq info <file.tsq>                   container inspection
     tsq verify <input> <file.tsq>         roundtrip check
-Options: --backend {auto,native,oracle,tpu}, --threads N, --level N (parity
-no-op, as upstream), --ext/--no-ext.
+Options: --backend {auto,native,oracle,tpu}, --threads N, --level N
+(0 = upstream-identical greedy parse; 1 = exact candidate parse; >= 2 =
+lazy best-of-chain parse — smaller output, same format; the upstream
+plumbs this flag but never reads it), --ext/--no-ext.
 """
 
 from __future__ import annotations

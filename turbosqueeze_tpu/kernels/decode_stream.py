@@ -184,6 +184,13 @@ def decode_stream_batch(payload_words, meta, dict_words=None, *,
     """
     B = payload_words.shape[0]
     pay_rows = payload_words.shape[1]
+    # byte_at addresses the 4-slot window ring purely by the cursor, which
+    # assumes every window starts at w * _WIN_ROWS; a ragged final window
+    # would silently misalign the parse (win_copy clamps its row0).
+    if pay_rows % _WIN_ROWS or pay_rows < _WIN_ROWS:
+        raise ValueError(
+            f"pay_rows must be a positive multiple of {_WIN_ROWS}, "
+            f"got {pay_rows}")
     if dict_words is None:
         dict_words = jnp.zeros((8, LANES), jnp.int32)
         dict_rows = 0

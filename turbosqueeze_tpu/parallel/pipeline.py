@@ -229,7 +229,7 @@ def _sharded_decode_xla(mesh: Mesh, n_out: int = DXL.OUT_N):
 
 
 @functools.lru_cache(maxsize=8)
-def _sharded_decode_stream(mesh: Mesh):
+def _sharded_decode_stream(mesh: Mesh, out_rows: int = DK.OUT_ROWS):
     """jit(shard_map(fused parse+reconstruct kernel)) over the block axis;
     the preset dictionary rides REPLICATED (the BASELINE broadcast)."""
     spec = P(mesh_mod.BLOCK_AXIS)
@@ -240,6 +240,7 @@ def _sharded_decode_stream(mesh: Mesh):
                        check_vma=False)
     def run(payload_words, meta, dict_words):
         return DST.decode_stream_batch(payload_words, meta, dict_words,
+                                       out_rows=out_rows,
                                        interpret=jax.default_backend()
                                        == "cpu")
 
@@ -255,6 +256,9 @@ def _decode_window_stream(stream, table_window, mesh: Mesh,
     n_dev = mesh.devices.size
     B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
     dlen = len(dictionary) if dictionary else 0
+    # dict-extended writes reach dict_len + size: widen the kernel's output
+    # region past the 8 KiB base slack (bucketed, like the other impls)
+    out_rows = DK.OUT_ROWS + ((_DICT_PAD // DK.ROW_BYTES) if dlen else 0)
     payload_words = np.zeros((B, DK.PAY_ROWS, DK.LANES), dtype=np.int32)
     exts, sizes = [], []
     for b, (off, psz, ext) in enumerate(table_window):
@@ -268,7 +272,7 @@ def _decode_window_stream(stream, table_window, mesh: Mesh,
     dict_words = (DST.pack_dict_words(dictionary) if dictionary
                   else np.zeros((8, DK.LANES), np.int32))
     sharding = mesh_mod.block_sharding(mesh)
-    host = _to_host(_sharded_decode_stream(mesh)(
+    host = _to_host(_sharded_decode_stream(mesh, out_rows)(
         _device_put(payload_words, sharding), _device_put(meta, sharding),
         _device_put(dict_words, mesh_mod.replicated(mesh))))
     return [host[b].reshape(-1).view("<u1")[dlen:dlen + sizes[b]].tobytes()
@@ -427,7 +431,8 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
             b, blk = b_blk
             if dictionary is not None:
                 return native.encode_block_dict(
-                    blk, dictionary, cands_host[b, :dlen + len(blk)], ext)
+                    blk, dictionary, cands_host[b, :dlen + len(blk)], ext,
+                    level=level)
             return native.encode_block_candidates(
                 blk, cands_host[b, :len(blk)], ext, level=level)
 

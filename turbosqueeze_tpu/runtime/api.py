@@ -48,7 +48,8 @@ def compress(data: bytes, ext: bool = True, backend: str = "auto",
         if b == "native":
             from . import native
 
-            return native.compress_dict(data, dictionary, ext)
+            return native.compress_dict(data, dictionary, ext,
+                                        level=max(level, 1))
         from ..parallel import pipeline
 
         return pipeline.compress(data, ext, level=max(level, 1),

@@ -40,7 +40,8 @@ class Job:
     in_path: Optional[str] = None
     out_path: Optional[str] = None
     ext: bool = True
-    level: int = 0                 # accepted for parity; no-op in the codec
+    level: int = 0                 # parse selector: 0 greedy (upstream-
+                                   # identical), 1 exact, >=2 lazy
     on_progress: Optional[ProgressFn] = None
     on_complete: Optional[CompletionFn] = None
     future: Future = field(default_factory=Future)

@@ -103,7 +103,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tsq_compress_mt_dict.restype = ctypes.c_int64
     lib.tsq_compress_mt_dict.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint32,
-        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint32]
     lib.tsq_decompress_mt_dict.restype = ctypes.c_int64
     lib.tsq_decompress_mt_dict.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint32,
@@ -111,7 +112,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tsq_encode_block_dict.restype = ctypes.c_int64
     lib.tsq_encode_block_dict.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32]
     _LIB = lib
     return _LIB
 
@@ -119,7 +120,7 @@ MAX_DICT = 65536 - 4
 
 
 def compress_dict(data: bytes, dictionary: bytes, ext: bool = True,
-                  n_threads: int = 0) -> bytes:
+                  n_threads: int = 0, level: int = 1) -> bytes:
     """Compress with a preset dictionary (shared 64 KiB context virtually
     preceding every block; framework extension — see csrc/tsq_core.h)."""
     import numpy as np
@@ -133,7 +134,7 @@ def compress_dict(data: bytes, dictionary: bytes, ext: bool = True,
     out = np.empty(bound, dtype=np.uint8)
     n = lib.tsq_compress_mt_dict(data, len(data), dictionary,
                                  len(dictionary), _as_ptr(out), bound,
-                                 1 if ext else 0, n_threads)
+                                 1 if ext else 0, n_threads, level)
     if n < 0:
         raise RuntimeError(f"native dict compress failed (code {n})")
     return out[:n].tobytes()
@@ -162,10 +163,11 @@ def decompress_dict(stream: bytes, dictionary: bytes,
 
 
 def encode_block_dict(block: bytes, dictionary: bytes, cand,
-                      ext: bool) -> bytes:
+                      ext: bool, level: int = 1) -> bytes:
     """Emit one block payload from concat-buffer candidates (device encode
     path with dictionary: candidates come from find_candidates over
-    dictionary+block)."""
+    dictionary+block). level >= 2 selects the lazy best-of-chain parse,
+    same as the non-dict emission."""
     import numpy as np
 
     lib = _load()
@@ -177,7 +179,7 @@ def encode_block_dict(block: bytes, dictionary: bytes, cand,
     out = np.empty((1 << 22) + (1 << 20) + 64, dtype=np.uint8)
     psz = lib.tsq_encode_block_dict(
         dictionary + block + bytes(80), len(dictionary), len(block),
-        cand.ctypes.data, out.ctypes.data, 1 if ext else 0)
+        cand.ctypes.data, out.ctypes.data, 1 if ext else 0, level)
     if psz < 0:
         raise RuntimeError(f"dict emission failed (code {psz})")
     return out[:psz].tobytes()
