@@ -36,8 +36,9 @@ from .decode_tokens import (
     _reconstruct_pair,
 )
 
-_WIN_ROWS = 4                        # 2 KiB scalar parse window
+_WIN_ROWS = 8                        # 4 KiB scalar parse window
 _WIN_BYTES = _WIN_ROWS * ROW_BYTES
+_WIN_SHIFT = 12                      # log2(_WIN_BYTES)
 _GROUP_SLACK = 160                   # max group consumption (133) + margin
 
 
@@ -79,12 +80,26 @@ def _decode_stream_kernel(meta_ref, payload_hbm, dict_hbm, out_hbm, u_ref,
     din.wait()
 
     def byte_at(i):
-        # 2 KiB windows ride a 4-slot ring addressed by window index mod 4,
-        # so any byte inside the resident windows resolves by i alone
-        slot = (i >> 11) & 3
+        # windows ride a 4-slot ring addressed by window index mod 4, so
+        # any byte inside the resident windows resolves by i alone
+        slot = (i >> _WIN_SHIFT) & 3
         off = i & (_WIN_BYTES - 1)
         w = pwin_ref[slot, off >> 9, (off >> 2) & (LANES - 1)]
         return (w >> ((i & 3) * 8)) & 0xFF
+
+    def u16_at(i):
+        # unaligned 16-bit LE read out of a word pair: ~2/3 the scalar ops
+        # of two byte_at calls. Logical shift — an arithmetic >> would
+        # sign-extend w0's high byte into the second result byte at sh=24.
+        wi = i >> 2
+        w0 = pwin_ref[(wi >> (_WIN_SHIFT - 2)) & 3,
+                      (wi >> 7) & (_WIN_ROWS - 1), wi & (LANES - 1)]
+        wj = wi + 1
+        w1 = pwin_ref[(wj >> (_WIN_SHIFT - 2)) & 3,
+                      (wj >> 7) & (_WIN_ROWS - 1), wj & (LANES - 1)]
+        sh = (i & 3) * 8
+        lo = jax.lax.shift_right_logical(w0, sh)
+        return (lo | (w1 << (32 - jnp.maximum(sh, 8)))) & 0xFFFF
 
     size_end = dict_len + size
 
@@ -99,7 +114,7 @@ def _decode_stream_kernel(meta_ref, payload_hbm, dict_hbm, out_hbm, u_ref,
         single advance step per group maintains the invariant with ~2
         windows of prefetch lead.
         """
-        hi_w = (i + _GROUP_SLACK - 1) >> 11
+        hi_w = (i + _GROUP_SLACK - 1) >> _WIN_SHIFT
 
         def advance(st):
             i_, w_ = st
@@ -118,12 +133,12 @@ def _decode_stream_kernel(meta_ref, payload_hbm, dict_hbm, out_hbm, u_ref,
             i += 1
             anchor = j
             for half in range(2):
-                nib = jnp.where(half == 0, size_byte >> 4, size_byte & 15)
+                nib = (size_byte >> 4) if half == 0 else (size_byte & 15)
                 is_lit = (ctrl >> (7 - pair_ix * 2 - half)) & 1
                 lit_sz = nib + 1
                 mat_sz = jnp.where(jnp.logical_and(ext != 0, nib < 3),
                                    32 + 16 * nib, nib + 1)
-                off = byte_at(i) | (byte_at(i + 1) << 8)
+                off = u16_at(i)
                 src = jnp.where(is_lit == 1, i,
                                 pay_bytes + anchor - off)
                 sz = jnp.where(is_lit == 1, lit_sz, mat_sz)
