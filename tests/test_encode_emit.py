@@ -1,0 +1,91 @@
+"""On-chip token emission (encode phase B): byte-identity vs the host
+level-1 emission (csrc encode_candidates_impl), interpret mode.
+
+The kernel's contract is exact: same candidates in -> same payload bytes
+out, including the TokenSink reservation/over-copy rules
+(csrc/tsq_core.cpp TokenSink; upstream semantics tsq_encode.cpp:216-326).
+Real-TPU full-block identity + the pipeline-level container identity are
+exercised on TPU hardware (BASELINE.md round-2 notes); here the CPU
+interpreter covers the semantic paths at small sizes.
+"""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from turbosqueeze_tpu.kernels import encode_emit as EE
+from turbosqueeze_tpu.utils.corpus import synthetic_text
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def native():
+    from turbosqueeze_tpu.runtime import native as mod
+
+    if not mod.available():
+        subprocess.run(["make", "-C", str(REPO / "csrc")], check=True)
+        mod._SEARCHED = False
+    assert mod.available()
+    return mod
+
+
+def run_emit(native, blockset, ext):
+    B = len(blockset)
+    iw = np.zeros((B, EE.IN_ROWS, 128), np.int32)
+    cw = np.full((B, EE.CAND_ROWS, 128), -1, np.int32)
+    meta = np.zeros((B, 8), np.int32)
+    wants = []
+    for b, blk in enumerate(blockset):
+        cand = native.build_candidates(blk)
+        iw[b] = EE.pack_input_words(blk)
+        cw[b] = EE.pack_cand_words(cand)
+        meta[b, 0] = len(blk)
+        wants.append(
+            native.encode_block_candidates(blk, cand, ext, level=1))
+    out, osz = EE.emit_batch(iw, cw, meta, ext=ext, interpret=True)
+    out, osz = np.asarray(out), np.asarray(osz)
+    gots = [EE.payload_from_words(out[b], int(osz[b, 0]))
+            for b in range(B)]
+    return gots, wants
+
+
+@pytest.mark.parametrize("ext", [True, False])
+def test_emit_text_identity(native, ext):
+    gots, wants = run_emit(native, [synthetic_text(40_000, seed=31)], ext)
+    assert gots[0] == wants[0]
+
+
+def test_emit_max_matches(native):
+    """All-zero input drives maximum-length chained matches and the
+    densest anchor-window capping."""
+    gots, wants = run_emit(native, [bytes(20_000)], True)
+    assert gots[0] == wants[0]
+    gots, wants = run_emit(native, [bytes(20_000)], False)
+    assert gots[0] == wants[0]
+
+
+def test_emit_incompressible_wraps_out_ring(native):
+    """Random bytes expand: the 40 KB payload wraps the 32 KB out ring."""
+    rng = np.random.default_rng(5)
+    gots, wants = run_emit(native, [rng.bytes(40_000)], True)
+    assert gots[0] == wants[0]
+    assert len(gots[0]) > 40_000
+
+
+def test_emit_batch_and_edges(native):
+    text = synthetic_text(30_000, seed=32)
+    rng = np.random.default_rng(6)
+    blocks = [text, text[:5_000] + rng.bytes(4_000) + bytes(3_000),
+              text[:37], b"x"]
+    gots, wants = run_emit(native, blocks, True)
+    for got, want in zip(gots, wants):
+        assert got == want
+
+
+def test_emit_far_offsets(native):
+    period = synthetic_text(65_300, seed=33)
+    gots, wants = run_emit(native, [(period * 2)[:100_000]], True)
+    assert gots[0] == wants[0]

@@ -39,6 +39,7 @@ from ..format import (
 from ..kernels import decode_stream as DST
 from ..kernels import decode_tokens as DK
 from ..kernels import decode_xla as DXL
+from ..kernels import encode_emit as EE
 from ..kernels import encode_xla
 from . import mesh as mesh_mod
 
@@ -73,6 +74,32 @@ def _sharded_candidates(mesh: Mesh):
     def run(blocks_u8):
         return jax.vmap(encode_xla.find_candidates)(
             blocks_u8.astype(jnp.int32))
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_emit(mesh: Mesh, ext: bool):
+    """jit(shard_map(device token emission)): bytes + candidates in,
+    payload words + sizes out — encode phases A+B both on-chip."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+    interp = jax.default_backend() == "cpu"
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec),
+                       out_specs=(spec, spec), check_vma=False)
+    def run(batch_u8, cand, meta):
+        B = batch_u8.shape[0]
+        x = batch_u8.reshape(B, -1, 4).astype(jnp.int32)
+        w = (x[..., 0] | (x[..., 1] << 8) | (x[..., 2] << 16)
+             | (x[..., 3] << 24))
+        rows = BLOCK_SZ // (128 * 4)
+        w = jnp.pad(w.reshape(B, rows, 128),
+                    ((0, 0), (0, EE.IN_ROWS - rows), (0, 0)))
+        c = jnp.pad(cand, ((0, 0), (0, EE.CAND_ROWS * 128 - BLOCK_SZ)),
+                    constant_values=-1).reshape(B, EE.CAND_ROWS, 128)
+        return EE.emit_batch(w, c, meta, ext=ext, interpret=interp)
 
     return run
 
@@ -411,6 +438,12 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
         dict_u8 = np.frombuffer(dictionary, np.uint8)
         dict_dev = _device_put(dict_u8, mesh_mod.replicated(mesh))
 
+    # device-resident emission (phase B on-chip, kernels/encode_emit.py)
+    # covers the greedy candidate parse; the lazy level>=2 parse and
+    # dictionary contexts emit on host from the same device candidates
+    dev_emit = (dictionary is None and level <= 1
+                and jax.default_backend() == "tpu")
+
     parts = [ContainerHeader(len(blocks), len(data)).pack()]
     sharding = mesh_mod.block_sharding(mesh)
     for lo in range(0, len(blocks), window):
@@ -425,6 +458,21 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
             cands = _sharded_candidates_dict(mesh)(dict_dev, dev_batch)
         else:
             cands = _sharded_candidates(mesh)(dev_batch)
+
+        if dev_emit:
+            meta = np.zeros((B, 8), dtype=np.int32)
+            for b, blk in enumerate(win):
+                meta[b, 0] = len(blk)
+            words, osz = _sharded_emit(mesh, ext)(
+                dev_batch, cands, _device_put(meta, sharding))
+            osz_host = _to_host(osz)
+            words_host = _to_host(words)
+            for b in range(len(win)):
+                psz = int(osz_host[b, 0])
+                payload = EE.payload_from_words(words_host[b], psz)
+                parts.append(pack_block_header(psz, ext))
+                parts.append(payload)
+            continue
         cands_host = _to_host(cands)
 
         def emit(b_blk):
