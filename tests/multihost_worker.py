@@ -33,10 +33,14 @@ def main():
     assert len(jax.devices()) == 4 * int(nprocs), len(jax.devices())
 
     stream = open(stream_path, "rb").read()
+    # memory path: windowed allgather (the upstream writer-thread analog)
     out = pipeline.decompress(stream, impl="xla")
     if jax.process_index() == 0:
         with open(out_path, "wb") as f:
             f.write(out)
+    # file path: PER-HOST ordered writes — each process writes its own
+    # shards at their block offsets; no host gathers another's bytes
+    pipeline.decompress_to_file(stream, out_path + ".perhost", impl="xla")
     jax.distributed.shutdown()
 
 

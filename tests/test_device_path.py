@@ -124,3 +124,19 @@ def test_decompress_to_words_stays_sharded():
     assert hdr.total_size == len(data)
     shard_devs = {s.device.id for s in words.addressable_shards}
     assert len(shard_devs) == 8
+
+
+def test_decompress_to_file_per_host_writes(tmp_path):
+    """decompress_to_file writes blocks at their fixed offsets from each
+    process's addressable shards (single-process degenerate case here;
+    the true 2-process run is tests/test_multihost.py)."""
+    from turbosqueeze_tpu.parallel import pipeline
+    from turbosqueeze_tpu.runtime import native
+    from turbosqueeze_tpu.utils.corpus import synthetic_text
+
+    data = synthetic_text((1 << 22) + 70_000, seed=71)  # 2 blocks
+    stream = native.compress(data, True)
+    out = tmp_path / "out.bin"
+    n = pipeline.decompress_to_file(stream, str(out), impl="xla")
+    assert n == len(data)
+    assert out.read_bytes() == data

@@ -47,3 +47,6 @@ def test_two_process_sharded_decompress(tmp_path):
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se.decode()[-2000:]
     assert out_path.read_bytes() == data
+    # per-host file writes (decompress_to_file): every process wrote its
+    # own blocks; the assembled file must still be exact and in order
+    assert Path(str(out_path) + ".perhost").read_bytes() == data

@@ -128,13 +128,34 @@ def _sharded_candidates_dict(mesh: Mesh):
 def _device_put(x: np.ndarray, sharding):
     """Host batch -> sharded global array, multi-process safe.
 
-    Every process holds the full host batch (replicated host IO — each host
-    read the same stream); each contributes only its addressable shards.
+    Every process holds the full host batch (small metadata only; bulk
+    block data goes through _device_put_rows, which packs shard-locally).
     """
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
     return jax.make_array_from_callback(x.shape, sharding,
                                         lambda idx: x[idx])
+
+
+def _device_put_rows(shape, dtype, sharding, pack_rows):
+    """Block-sharded array whose rows are packed SHARD-LOCALLY.
+
+    ``pack_rows(lo, hi) -> np.ndarray`` materializes global rows [lo, hi).
+    Each process only ever packs the rows its own devices hold — O(local
+    shard) host RAM instead of O(batch) per process (multi-host configs;
+    every host still holds the compressed stream, but the 4 MiB-per-block
+    staging buffers are the dominant term).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(pack_rows(0, shape[0]), sharding)
+
+    def cb(idx):
+        sl = idx[0]
+        lo = 0 if sl.start is None else sl.start
+        hi = shape[0] if sl.stop is None else sl.stop
+        return pack_rows(lo, hi)
+
+    return jax.make_array_from_callback(shape, sharding, cb)
 
 
 def _to_host(x) -> np.ndarray:
@@ -286,21 +307,28 @@ def _decode_window_stream(stream, table_window, mesh: Mesh,
     # dict-extended writes reach dict_len + size: widen the kernel's output
     # region past the 8 KiB base slack (bucketed, like the other impls)
     out_rows = DK.OUT_ROWS + ((_DICT_PAD // DK.ROW_BYTES) if dlen else 0)
-    payload_words = np.zeros((B, DK.PAY_ROWS, DK.LANES), dtype=np.int32)
     exts, sizes = [], []
-    for b, (off, psz, ext) in enumerate(table_window):
-        payload = stream[off:off + psz]
-        payload_words[b] = DK.pack_payload_words(payload)
+    for off, psz, ext in table_window:
         exts.append(ext)
-        sizes.append(payload[0] | (payload[1] << 8) | (payload[2] << 16)
-                     if psz >= 3 else 0)
+        sizes.append(stream[off] | (stream[off + 1] << 8)
+                     | (stream[off + 2] << 16) if psz >= 3 else 0)
+
+    def pack_rows(lo, hi):
+        pw = np.zeros((hi - lo, DK.PAY_ROWS, DK.LANES), dtype=np.int32)
+        for b in range(lo, min(hi, n)):
+            off, psz, _ = table_window[b]
+            pw[b - lo] = DK.pack_payload_words(stream[off:off + psz])
+        return pw
+
     meta = DST.pack_meta(exts + [False] * (B - n), sizes + [0] * (B - n),
                          dict_len=dlen)
     dict_words = (DST.pack_dict_words(dictionary) if dictionary
                   else np.zeros((8, DK.LANES), np.int32))
     sharding = mesh_mod.block_sharding(mesh)
     host = _to_host(_sharded_decode_stream(mesh, out_rows)(
-        _device_put(payload_words, sharding), _device_put(meta, sharding),
+        _device_put_rows((B, DK.PAY_ROWS, DK.LANES), np.int32, sharding,
+                         pack_rows),
+        _device_put(meta, sharding),
         _device_put(dict_words, mesh_mod.replicated(mesh))))
     return [host[b].reshape(-1).view("<u1")[dlen:dlen + sizes[b]].tobytes()
             for b in range(n)]
@@ -408,6 +436,117 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     return out
 
 
+def decompress_to_file(stream: bytes, out_path, mesh: Optional[Mesh] = None,
+                       impl: str = "auto", window_blocks: int = 0,
+                       dictionary: Optional[bytes] = None) -> int:
+    """Sharded decode with PER-HOST ordered file writes.
+
+    The block grid is fixed (4 MiB per block), so every decoded block's
+    file offset is known without any cross-host coordination: each process
+    writes its own shards' blocks straight into `out_path` at
+    block_index * 4 MiB. No host ever gathers another host's decoded
+    bytes — O(local shard) host RAM and zero cross-DCN output traffic,
+    the scalable replacement for the windowed allgather when the result
+    is a file (the upstream writer thread's role, tsq_threads.cpp:604-676,
+    distributed across hosts). Returns the decoded size.
+    """
+    from ..format import FormatError
+
+    if impl == "auto":
+        impl = "stream" if jax.default_backend() == "tpu" else "xla"
+    if mesh is None:
+        mesh = mesh_mod.block_mesh()
+    if window_blocks <= 0:
+        window_blocks = 4 * mesh.devices.size
+    dlen = len(dictionary) if dictionary else 0
+    hdr, table = scan_block_table(stream)
+
+    # host 0 sizes the file; everyone waits before writing into it
+    if jax.process_index() == 0:
+        with open(out_path, "wb") as f:
+            f.truncate(hdr.total_size)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tsq_file_create")
+
+    n_dev = mesh.devices.size
+    sharding = mesh_mod.block_sharding(mesh)
+    written = 0
+    with open(out_path, "r+b") as f:
+        for lo in range(0, len(table), window_blocks):
+            win = table[lo:lo + window_blocks]
+            n = len(win)
+            B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+            sizes = [stream[off] | (stream[off + 1] << 8)
+                     | (stream[off + 2] << 16) if psz >= 3 else 0
+                     for off, psz, _ in win]
+            if impl == "stream":
+                out_rows = DK.OUT_ROWS + ((_DICT_PAD // DK.ROW_BYTES)
+                                          if dlen else 0)
+
+                def pack_rows(plo, phi, win=win, n=n):
+                    pw = np.zeros((phi - plo, DK.PAY_ROWS, DK.LANES),
+                                  dtype=np.int32)
+                    for b in range(plo, min(phi, n)):
+                        off, psz, _ = win[b]
+                        pw[b - plo] = DK.pack_payload_words(
+                            stream[off:off + psz])
+                    return pw
+
+                meta = DST.pack_meta(
+                    [e for _, _, e in win] + [False] * (B - n),
+                    sizes + [0] * (B - n), dict_len=dlen)
+                dict_words = (DST.pack_dict_words(dictionary) if dictionary
+                              else np.zeros((8, DK.LANES), np.int32))
+                words = _sharded_decode_stream(mesh, out_rows)(
+                    _device_put_rows((B, DK.PAY_ROWS, DK.LANES), np.int32,
+                                     sharding, pack_rows),
+                    _device_put(meta, sharding),
+                    _device_put(dict_words, mesh_mod.replicated(mesh)))
+            else:
+                parsed, _ = _tokenize_all(stream, win, dictionary)
+                nb = len(parsed)
+                Bx = max(mesh_mod.pad_batch(nb, n_dev), n_dev)
+                n_out = DXL.OUT_N + (_DICT_PAD if dlen else 0)
+                pay_n = DXL.PAY_N + (_DICT_PAD if dlen else 0)
+                tok = [p[1:5] for p in parsed] + [parsed[0][1:5]] * (Bx - nb)
+                d, srcs, l, q = DXL.pack_token_batch(tok, n_out=n_out)
+                pay = DXL.pack_payload_batch(
+                    [p[0] for p in parsed] + [parsed[0][0]] * (Bx - nb),
+                    pay_n=pay_n)
+                args = [_device_put(x, sharding)
+                        for x in (d, srcs, l, q, pay)]
+                words = _sharded_decode_xla(mesh, n_out)(*args)
+
+            # per-host writes: each process drains its addressable shards
+            for shard in words.addressable_shards:
+                blo = shard.index[0].start or 0
+                host = np.asarray(shard.data)
+                for b in range(host.shape[0]):
+                    gb = lo + blo + b
+                    if blo + b >= n:
+                        continue
+                    size = sizes[blo + b]
+                    f.seek(gb << 22)
+                    if impl == "stream":
+                        part = host[b].reshape(-1).view("<u1")[
+                            dlen:dlen + size].tobytes()
+                    else:
+                        part = host[b, dlen:dlen + size].tobytes()
+                    f.write(part)
+                    written += size
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tsq_file_done")
+        return hdr.total_size
+    if written != hdr.total_size:
+        raise FormatError(
+            f"decoded {written} bytes, container declares {hdr.total_size}")
+    return written
+
+
 # --- compress ------------------------------------------------------------------
 
 def compress(data: bytes, ext: bool = True, level: int = 1,
@@ -449,11 +588,18 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
     for lo in range(0, len(blocks), window):
         win = blocks[lo:lo + window]
         B = max(mesh_mod.pad_batch(len(win), n_dev), n_dev)
-        # ship bytes, widen on device: 4x less host->device transfer
-        batch = np.zeros((B, BLOCK_SZ), dtype=np.uint8)
-        for b, blk in enumerate(win):
-            batch[b, :len(blk)] = np.frombuffer(blk, dtype=np.uint8)
-        dev_batch = _device_put(batch, sharding)
+
+        # ship bytes, widen on device (4x less host->device transfer);
+        # packed shard-locally (each process stages only its blocks)
+        def pack_blocks(plo, phi, win=win):
+            batch = np.zeros((phi - plo, BLOCK_SZ), dtype=np.uint8)
+            for b in range(plo, min(phi, len(win))):
+                batch[b - plo, :len(win[b])] = np.frombuffer(
+                    win[b], dtype=np.uint8)
+            return batch
+
+        dev_batch = _device_put_rows((B, BLOCK_SZ), np.uint8, sharding,
+                                     pack_blocks)
         if dictionary is not None:
             cands = _sharded_candidates_dict(mesh)(dict_dev, dev_batch)
         else:
