@@ -15,6 +15,35 @@ int64_t tsq_decompressed_size(const uint8_t* in, uint64_t in_size) {
   return tsq::decompressed_size(in, in_size);
 }
 
+typedef void (*tsq_progress_fn)(void* ctx, uint64_t done, uint64_t total);
+
+int64_t tsq_compress_mt_cb(const uint8_t* in, uint64_t in_size, uint8_t* out,
+                           uint64_t out_capacity, int ext, uint32_t level,
+                           int n_threads, tsq_progress_fn cb, void* ctx) {
+  return tsq::compress_mt(in, in_size, out, out_capacity, ext != 0, level,
+                          n_threads, cb, ctx);
+}
+
+int64_t tsq_decompress_mt_cb(const uint8_t* in, uint64_t in_size,
+                             uint8_t* out, uint64_t out_capacity,
+                             int n_threads, tsq_progress_fn cb, void* ctx) {
+  return tsq::decompress_mt(in, in_size, out, out_capacity, n_threads, cb,
+                            ctx);
+}
+
+int64_t tsq_compress_file_cb(const char* in_path, const char* out_path,
+                             int ext, uint32_t level, int n_threads,
+                             tsq_progress_fn cb, void* ctx) {
+  return tsq::compress_file(in_path, out_path, ext != 0, level, n_threads,
+                            cb, ctx);
+}
+
+int64_t tsq_decompress_file_cb(const char* in_path, const char* out_path,
+                               int n_threads, tsq_progress_fn cb,
+                               void* ctx) {
+  return tsq::decompress_file(in_path, out_path, n_threads, cb, ctx);
+}
+
 int64_t tsq_compress_mt(const uint8_t* in, uint64_t in_size, uint8_t* out,
                         uint64_t out_capacity, int ext, uint32_t level,
                         int n_threads) {

@@ -79,20 +79,32 @@ size_t compress_bound(size_t in_size);
 // Total uncompressed size declared by a .tsq container (validates magic).
 int64_t decompressed_size(const uint8_t* in, size_t in_size);
 
+// Per-block progress callback: invoked (from worker threads, completion
+// order) with a monotonically increasing done count — the framework twin
+// of the upstream writer thread's per-block fractions
+// (tsq_threads.cpp:248-254).
+using ProgressFn = void (*)(void* ctx, uint64_t done, uint64_t total);
+
 // Multithreaded memory-to-memory codec. n_threads == 0 => hardware
 // concurrency. Returns bytes written or negative Status.
 int64_t compress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
                     size_t out_capacity, bool ext, uint32_t level,
-                    int n_threads);
+                    int n_threads, ProgressFn progress = nullptr,
+                    void* progress_ctx = nullptr);
 int64_t decompress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
-                      size_t out_capacity, int n_threads);
+                      size_t out_capacity, int n_threads,
+                      ProgressFn progress = nullptr,
+                      void* progress_ctx = nullptr);
 
 // Streaming file-to-file codec with I/O overlapped against the worker pool
 // (the upstream reader/workers/writer pipeline, rebuilt on std::async).
 int64_t compress_file(const char* in_path, const char* out_path, bool ext,
-                      uint32_t level, int n_threads);
+                      uint32_t level, int n_threads,
+                      ProgressFn progress = nullptr,
+                      void* progress_ctx = nullptr);
 int64_t decompress_file(const char* in_path, const char* out_path,
-                        int n_threads);
+                        int n_threads, ProgressFn progress = nullptr,
+                        void* progress_ctx = nullptr);
 
 // --- Candidate-based encoding (device match finder + host emission) ---------
 //

@@ -96,6 +96,17 @@ struct DecodeScratch {
   DecodeScratch() : out(kBlockSize + kDecOutSlack) {}
 };
 
+// Shared per-block progress ticker (atomic done count, completion order).
+struct ProgressTicker {
+  ProgressFn fn;
+  void* ctx;
+  uint64_t total;
+  std::atomic<uint64_t> done{0};
+  void tick() {
+    if (fn) fn(ctx, done.fetch_add(1, std::memory_order_relaxed) + 1, total);
+  }
+};
+
 void write_header(uint8_t* out, uint32_t n_blocks, uint64_t total) {
   std::memcpy(out, "TSQ1", 4);
   std::memcpy(out + 4, &n_blocks, 4);
@@ -113,7 +124,8 @@ void write_block_header(uint8_t* out, uint32_t payload, bool ext) {
 
 int64_t compress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
                     size_t out_capacity, bool ext, uint32_t level,
-                    int n_threads) {
+                    int n_threads, ProgressFn progress, void* progress_ctx) {
+  ProgressTicker ticker{progress, progress_ctx, n_blocks_for(in_size)};
   size_t n_blocks = n_blocks_for(in_size);
   if (out_capacity < kContainerHeaderSize) return kErrOutputTooSmall;
   write_header(out, (uint32_t)n_blocks, in_size);
@@ -141,6 +153,7 @@ int64_t compress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
     std::memset(s.in.data() + bsz, 0, kEncInSlack);
     uint8_t* dst = out + kContainerHeaderSize + b * slot + kBlockHeaderSize;
     sizes[b] = s.encode(bsz, ext, level, dst);
+    ticker.tick();
     return true;
   });
   if (!ok) return kErrBadPayload;
@@ -161,7 +174,8 @@ int64_t compress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
 }
 
 int64_t decompress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
-                      size_t out_capacity, int n_threads) {
+                      size_t out_capacity, int n_threads,
+                      ProgressFn progress, void* progress_ctx) {
   if (in_size < kContainerHeaderSize) return kErrTruncated;
   if (std::memcmp(in, "TSQ1", 4) != 0) return kErrBadMagic;
   uint32_t n_blocks;
@@ -194,6 +208,7 @@ int64_t decompress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
   for (int t = 0; t < T; ++t) scratch.emplace_back(new DecodeScratch());
   std::atomic<int64_t> err{0};
   std::atomic<uint64_t> produced{0};
+  ProgressTicker ticker{progress, progress_ctx, n_blocks};
 
   parallel_blocks(n_blocks, n_threads, [&](int t, size_t b) {
     DecodeScratch& s = *scratch[t];
@@ -221,6 +236,7 @@ int64_t decompress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
       return false;
     }
     produced.fetch_add((uint64_t)r);
+    ticker.tick();
     return true;
   });
   if (err.load() != 0) return err.load();
@@ -354,7 +370,8 @@ int64_t decompress_mt_dict(const uint8_t* in, size_t in_size,
 // --- File streaming ----------------------------------------------------------
 
 int64_t compress_file(const char* in_path, const char* out_path, bool ext,
-                      uint32_t level, int n_threads) {
+                      uint32_t level, int n_threads, ProgressFn progress,
+                      void* progress_ctx) {
   FILE* fi = std::fopen(in_path, "rb");
   if (!fi) return kErrIo;
   FILE* fo = std::fopen(out_path, "wb");
@@ -371,6 +388,7 @@ int64_t compress_file(const char* in_path, const char* out_path, bool ext,
 
   uint8_t hdr[kContainerHeaderSize];
   write_header(hdr, (uint32_t)n_blocks, total);
+  ProgressTicker ticker{progress, progress_ctx, n_blocks};
   int64_t status = 0;
   size_t written = 0;
   if (std::fwrite(hdr, 1, sizeof hdr, fo) != sizeof hdr) status = kErrIo;
@@ -408,6 +426,7 @@ int64_t compress_file(const char* in_path, const char* out_path, bool ext,
       outputs[k].resize(kBlockHeaderSize + psz);
       write_block_header(outputs[k].data(), psz, ext);
       std::memcpy(outputs[k].data() + kBlockHeaderSize, s.out.data(), psz);
+      ticker.tick();
       return true;
     });
     for (size_t k = 0; k < batch && status == 0; ++k) {
@@ -425,7 +444,8 @@ int64_t compress_file(const char* in_path, const char* out_path, bool ext,
 }
 
 int64_t decompress_file(const char* in_path, const char* out_path,
-                        int n_threads) {
+                        int n_threads, ProgressFn progress,
+                        void* progress_ctx) {
   FILE* fi = std::fopen(in_path, "rb");
   if (!fi) return kErrIo;
   FILE* fo = std::fopen(out_path, "wb");
@@ -445,6 +465,7 @@ int64_t decompress_file(const char* in_path, const char* out_path,
     std::memcpy(&n_blocks, hdr + 4, 4);
     std::memcpy(&total, hdr + 8, 8);
   }
+  ProgressTicker ticker{progress, progress_ctx, n_blocks};
 
   int T = pool_size(n_threads);
   size_t W = (size_t)T * 2;
@@ -487,6 +508,7 @@ int64_t decompress_file(const char* in_path, const char* out_path,
         return false;
       }
       outputs[k].assign(s.out.data(), s.out.data() + r);
+      ticker.tick();
       return true;
     });
     if (err.load() != 0) {

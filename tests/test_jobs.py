@@ -149,3 +149,39 @@ def test_jobs_compression_levels(payloads):
         assert eng.decompress(s0) == data
         assert eng.decompress(s2) == data
     assert len(s2) <= len(s0)
+
+
+def test_per_block_progress_fractions(tmp_path):
+    """Multi-block jobs report intermediate per-block fractions, not just
+    the endpoints (upstream writer-thread parity, tsq_threads.cpp:248-254)."""
+    from turbosqueeze_tpu.runtime.jobs import JobEngine
+    from turbosqueeze_tpu.utils.corpus import synthetic_text
+
+    data = synthetic_text(3 * (1 << 22) + 999, seed=81)  # 4 blocks
+    fractions = []
+    with JobEngine(backend="native") as eng:
+        stream = eng.submit_compress(
+            data, on_progress=lambda j, f: fractions.append(f)).result(120)
+    assert fractions[0] == 0.0 and fractions[-1] == 1.0
+    mids = [f for f in fractions if 0.0 < f < 1.0]
+    assert len(mids) >= 3, fractions       # 4 blocks -> 3 interior ticks
+    assert fractions == sorted(fractions)  # monotone
+
+    # file-to-file jobs stream through the native windowed pipeline and
+    # report the same per-block fractions
+    src = tmp_path / "in.bin"
+    dst = tmp_path / "out.tsq"
+    back = tmp_path / "back.bin"
+    src.write_bytes(data)
+    fr2, fr3 = [], []
+    with JobEngine(backend="native") as eng:
+        n = eng.submit_compress(
+            in_path=str(src), out_path=str(dst),
+            on_progress=lambda j, f: fr2.append(f)).result(120)
+        assert n == dst.stat().st_size
+        eng.submit_decompress(
+            in_path=str(dst), out_path=str(back),
+            on_progress=lambda j, f: fr3.append(f)).result(120)
+    assert back.read_bytes() == data
+    assert len([f for f in fr2 if 0.0 < f < 1.0]) >= 3
+    assert len([f for f in fr3 if 0.0 < f < 1.0]) >= 3

@@ -30,34 +30,70 @@ def _read_dict(args):
     return None
 
 
+def _native_streaming(backend: str) -> bool:
+    if backend not in ("auto", "native"):
+        return False
+    try:
+        from .runtime import native
+
+        return native.available()
+    except Exception:
+        return False
+
+
 def cmd_compress(args) -> int:
-    from .runtime.api import compress
+    import os
 
     t0 = time.perf_counter()
-    data = open(args.input, "rb").read()
-    stream = compress(data, ext=not args.no_ext, backend=args.backend,
-                      level=args.level, dictionary=_read_dict(args))
-    with open(args.output, "wb") as f:
-        f.write(stream)
+    dictionary = _read_dict(args)
+    in_size = os.path.getsize(args.input)
+    if dictionary is None and _native_streaming(args.backend):
+        # stream block windows through the native file pipeline: bounded
+        # memory on arbitrarily large inputs (tsq_threads.cpp:90-99 parity)
+        from .runtime import native
+
+        out_size = native.compress_file(args.input, args.output,
+                                        not args.no_ext, args.level,
+                                        args.threads)
+    else:
+        from .runtime.api import compress
+
+        data = open(args.input, "rb").read()
+        stream = compress(data, ext=not args.no_ext, backend=args.backend,
+                          level=args.level, dictionary=dictionary)
+        with open(args.output, "wb") as f:
+            f.write(stream)
+        out_size = len(stream)
     dt = time.perf_counter() - t0
-    print(f"{_human(len(data))} -> {_human(len(stream))} "
-          f"({100.0 * len(stream) / max(len(data), 1):.2f}%) "
-          f"in {dt:.2f}s ({len(data) / 1e6 / dt:,.0f} MB/s)")
+    print(f"{_human(in_size)} -> {_human(out_size)} "
+          f"({100.0 * out_size / max(in_size, 1):.2f}%) "
+          f"in {dt:.2f}s ({in_size / 1e6 / dt:,.0f} MB/s)")
     return 0
 
 
 def cmd_decompress(args) -> int:
-    from .runtime.api import decompress
+    import os
 
     t0 = time.perf_counter()
-    stream = open(args.input, "rb").read()
-    data = decompress(stream, backend=args.backend,
-                      dictionary=_read_dict(args))
-    with open(args.output, "wb") as f:
-        f.write(data)
+    dictionary = _read_dict(args)
+    in_size = os.path.getsize(args.input)
+    if dictionary is None and _native_streaming(args.backend):
+        from .runtime import native
+
+        out_size = native.decompress_file(args.input, args.output,
+                                          args.threads)
+    else:
+        from .runtime.api import decompress
+
+        stream = open(args.input, "rb").read()
+        data = decompress(stream, backend=args.backend,
+                          dictionary=dictionary)
+        with open(args.output, "wb") as f:
+            f.write(data)
+        out_size = len(data)
     dt = time.perf_counter() - t0
-    print(f"{_human(len(stream))} -> {_human(len(data))} "
-          f"in {dt:.2f}s ({len(data) / 1e6 / dt:,.0f} MB/s)")
+    print(f"{_human(in_size)} -> {_human(out_size)} "
+          f"in {dt:.2f}s ({out_size / 1e6 / dt:,.0f} MB/s)")
     return 0
 
 

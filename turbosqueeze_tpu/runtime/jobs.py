@@ -133,6 +133,16 @@ class JobEngine:
         self._pool.submit(self._run, job)
         return job
 
+    def _native_ok(self) -> bool:
+        if self._backend not in ("auto", "native"):
+            return False
+        try:
+            from . import native
+
+            return native.available()
+        except Exception:
+            return False
+
     def _run(self, job: Job) -> None:
         from .api import compress as _compress
         from .api import decompress as _decompress
@@ -142,11 +152,48 @@ class JobEngine:
         try:
             if job.on_progress:
                 job.on_progress(job.jobid, 0.0)
+
+            # per-block fractions ride the native core's progress callback
+            # (tsq_threads.cpp:248-254 parity); other backends report the
+            # 0.0 / 1.0 endpoints only
+            per_block = None
+            if job.on_progress and self._native_ok():
+                def per_block(done, total, job=job):
+                    job.on_progress(job.jobid, done / max(total, 1))
+
+            if job.in_path is not None and job.out_path is not None \
+                    and self._native_ok():
+                # file-to-file jobs stream block windows through the native
+                # pipeline (csrc compress_file/decompress_file) instead of
+                # slurping the input (tsq_threads.cpp:90-99 parity);
+                # the job result is the output byte count
+                from . import native
+
+                if job.kind == "compress":
+                    result = native.compress_file(
+                        job.in_path, job.out_path, job.ext, job.level,
+                        progress=per_block)
+                else:
+                    result = native.decompress_file(
+                        job.in_path, job.out_path, progress=per_block)
+                if job.on_progress:
+                    job.on_progress(job.jobid, 1.0)
+                success = True
+                job.future.set_result(result)
+                return
             if job.in_path is not None:
                 data = open(job.in_path, "rb").read()
             else:
                 data = job.data
-            if job.kind == "compress":
+            if per_block is not None:
+                from . import native
+
+                if job.kind == "compress":
+                    result = native.compress(data, job.ext, job.level,
+                                             progress=per_block)
+                else:
+                    result = native.decompress(data, progress=per_block)
+            elif job.kind == "compress":
                 result = _compress(data, ext=job.ext, backend=self._backend,
                                    level=job.level)
             else:

@@ -109,6 +109,23 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tsq_decompress_mt_dict.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint32,
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int]
+    lib.tsq_compress_mt_cb.restype = ctypes.c_int64
+    lib.tsq_compress_mt_cb.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_uint32, ctypes.c_int, PROGRESS_CFUNC,
+        ctypes.c_void_p]
+    lib.tsq_decompress_mt_cb.restype = ctypes.c_int64
+    lib.tsq_decompress_mt_cb.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_int, PROGRESS_CFUNC, ctypes.c_void_p]
+    lib.tsq_compress_file_cb.restype = ctypes.c_int64
+    lib.tsq_compress_file_cb.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_uint32,
+        ctypes.c_int, PROGRESS_CFUNC, ctypes.c_void_p]
+    lib.tsq_decompress_file_cb.restype = ctypes.c_int64
+    lib.tsq_decompress_file_cb.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, PROGRESS_CFUNC,
+        ctypes.c_void_p]
     lib.tsq_encode_block_dict.restype = ctypes.c_int64
     lib.tsq_encode_block_dict.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_void_p,
@@ -252,6 +269,29 @@ def tokenize_block(payload: bytes, ext: bool, dict_len: int = 0):
             int(size.value))
 
 
+# Per-block progress callback plumbing (the upstream writer thread's
+# per-block fractions, tsq_threads.cpp:248-254): the C core calls back from
+# worker threads with a monotone done count; ctypes re-acquires the GIL.
+PROGRESS_CFUNC = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_uint64,
+                                  ctypes.c_uint64)
+_NULL_PROGRESS = PROGRESS_CFUNC()
+
+
+def _wrap_progress(progress):
+    """python callable (done, total) -> (cfunc, keepalive)."""
+    if progress is None:
+        return _NULL_PROGRESS, None
+
+    def trampoline(_ctx, done, total):
+        try:
+            progress(int(done), int(total))
+        except Exception:
+            pass  # in-band contract: callbacks never raise across C
+
+    cf = PROGRESS_CFUNC(trampoline)
+    return cf, cf
+
+
 def available() -> bool:
     return _load() is not None
 
@@ -261,7 +301,7 @@ def _as_ptr(arr) -> ctypes.c_char_p:
 
 
 def compress(data: bytes, ext: bool = True, level: int = 0,
-             n_threads: int = 0) -> bytes:
+             n_threads: int = 0, progress=None) -> bytes:
     lib = _load()
     if lib is None:
         raise RuntimeError("native core not built (run `make -C csrc`)")
@@ -269,8 +309,14 @@ def compress(data: bytes, ext: bool = True, level: int = 0,
     # write into a bound-size bytes, then shrink in place (refcount-1 idiom:
     # `obj` must stay the only reference until the shrink)
     obj = ctypes.py_object(_py_new_bytes(None, bound))
-    n = lib.tsq_compress_mt(data, len(data), _py_bytes_ptr(obj),
-                            bound, 1 if ext else 0, level, n_threads)
+    if progress is not None:
+        cb, _keep = _wrap_progress(progress)
+        n = lib.tsq_compress_mt_cb(data, len(data), _py_bytes_ptr(obj),
+                                   bound, 1 if ext else 0, level, n_threads,
+                                   cb, None)
+    else:
+        n = lib.tsq_compress_mt(data, len(data), _py_bytes_ptr(obj),
+                                bound, 1 if ext else 0, level, n_threads)
     if n < 0:
         raise RuntimeError(f"native compress failed (code {n})")
     return _shrink_bytes(obj, n)
@@ -315,33 +361,34 @@ def decompress_array(stream_arr, n_threads: int = 0):
 
 
 def compress_file(in_path: str, out_path: str, ext: bool = True,
-                  level: int = 0, n_threads: int = 0) -> int:
+                  level: int = 0, n_threads: int = 0, progress=None) -> int:
     lib = _load()
     if lib is None:
         raise RuntimeError("native core not built (run `make -C csrc`)")
-    lib.tsq_compress_file.restype = ctypes.c_int64
-    n = lib.tsq_compress_file(in_path.encode(), out_path.encode(),
-                              1 if ext else 0, level, n_threads)
+    cb, _keep = _wrap_progress(progress)
+    n = lib.tsq_compress_file_cb(in_path.encode(), out_path.encode(),
+                                 1 if ext else 0, level, n_threads, cb, None)
     if n < 0:
         raise RuntimeError(f"native file compress failed (code {n})")
     return n
 
 
-def decompress_file(in_path: str, out_path: str, n_threads: int = 0) -> int:
+def decompress_file(in_path: str, out_path: str, n_threads: int = 0,
+                    progress=None) -> int:
     from ..format import FormatError
 
     lib = _load()
     if lib is None:
         raise RuntimeError("native core not built (run `make -C csrc`)")
-    lib.tsq_decompress_file.restype = ctypes.c_int64
-    n = lib.tsq_decompress_file(in_path.encode(), out_path.encode(),
-                                n_threads)
+    cb, _keep = _wrap_progress(progress)
+    n = lib.tsq_decompress_file_cb(in_path.encode(), out_path.encode(),
+                                   n_threads, cb, None)
     if n < 0:
         raise FormatError(f"native file decompress failed (code {n})")
     return n
 
 
-def decompress(stream: bytes, n_threads: int = 0) -> bytes:
+def decompress(stream: bytes, n_threads: int = 0, progress=None) -> bytes:
     from ..format import FormatError
 
     lib = _load()
@@ -351,7 +398,12 @@ def decompress(stream: bytes, n_threads: int = 0) -> bytes:
     if size < 0:
         raise FormatError(f"bad .tsq stream (code {size})")
     out, ptr = _alloc_exact_bytes(size)
-    n = lib.tsq_decompress_mt(stream, len(stream), ptr, size, n_threads)
+    if progress is not None:
+        cb, _keep = _wrap_progress(progress)
+        n = lib.tsq_decompress_mt_cb(stream, len(stream), ptr, size,
+                                     n_threads, cb, None)
+    else:
+        n = lib.tsq_decompress_mt(stream, len(stream), ptr, size, n_threads)
     if n < 0:
         raise FormatError(f"native decompress failed (code {n})")
     if n != size:  # decompress_mt returns total or an error code
