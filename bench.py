@@ -151,6 +151,39 @@ def bench_tpu_kernel(data: bytes, native) -> float:
     return 1e-6 / per_byte
 
 
+def ratio_sweep(native, harness, tmpdir):
+    """Mixed-corpus per-file-class ratio table vs the upstream binary
+    (BASELINE config 3; Silesia stand-in, no egress)."""
+    from turbosqueeze_tpu.utils.corpus import (
+        incompressible, synthetic_binary, synthetic_text)
+
+    files = {
+        "text": synthetic_text(1 << 20, seed=301),
+        "binary-records": synthetic_binary(1 << 20, seed=302),
+        "zeros": bytes(1 << 20),
+        "incompressible": incompressible(1 << 20, seed=303),
+        "mixed": (synthetic_text(300_000, seed=304)
+                  + incompressible(200_000, seed=305)
+                  + synthetic_binary(300_000, seed=306)
+                  + bytes(200_000)),
+    }
+    log("ratio sweep (ext, 1 MiB per class) — upstream vs levels 0/1/2:")
+    log(f"  {'file':16s} {'upstream':>10s} {'lvl0':>10s} {'lvl1':>10s} "
+        f"{'lvl2':>10s}")
+    for name, data in files.items():
+        src = Path(tmpdir) / f"{name}.bin"
+        dst = Path(tmpdir) / f"{name}.tsq"
+        src.write_bytes(data)
+        subprocess.run([str(harness), "c", "1", str(src), str(dst)],
+                       check=True)
+        r = dst.stat().st_size
+        l0 = len(native.compress(data, True, level=0))
+        l1 = len(native.compress(data, True, level=1))
+        l2 = len(native.compress(data, True, level=2))
+        flag = "" if l0 == r and l1 <= r and l2 <= l1 else "  <-- REGRESSION"
+        log(f"  {name:16s} {r:10,d} {l0:10,d} {l1:10,d} {l2:10,d}{flag}")
+
+
 def main():
     size_mb = int(os.environ.get("TSQ_BENCH_MB", "256"))
     native = ensure_native()
@@ -225,6 +258,7 @@ def main():
                 f", roundtrip {'OK' if ok else 'FAIL'}")
             log(f"size check: ours {len(stream):,} <= reference "
                 f"{ref_size:,} = {len(stream) <= ref_size}")
+            ratio_sweep(native, harness, td)
 
     # --- TPU kernel: the headline (a TPU-native framework's number is the
     # device path, not the host's) -------------------------------------------
