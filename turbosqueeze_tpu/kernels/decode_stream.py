@@ -155,14 +155,51 @@ def _decode_stream_kernel(meta_ref, payload_hbm, dict_hbm, out_hbm, u_ref,
         return c[1] < size_end  # parse frontier
 
     def body(c):
-        # SOFTWARE PIPELINE: parse group g (scalar unit) first, then
-        # reconstruct group g-1 from the carry (vector unit) — the two are
-        # data-independent inside one iteration, so Mosaic interleaves them
-        # (measured 1.57x over the parse-then-reconstruct-same-group form:
-        # 38 vs 60 cyc/token in a back-to-back A/B).
-        i, j, waited, fields = parse_group(c[0], c[1], c[2])
-        reconstruct_group(c[3:])
-        return (i, j, waited) + fields
+        # SOFTWARE PIPELINE at PAIR granularity: parse pair p of group g
+        # (scalar unit) interleaved in program order with the
+        # reconstruction of pair p of group g-1 from the carry (vector
+        # unit). The two are data-independent inside one iteration; the
+        # fine interleave makes the scalar/vector overlap explicit in
+        # program order instead of hoping the scheduler hoists across a
+        # whole group's worth of instructions (group-level separation
+        # measured 1.57x over no pipelining in one session and ~1.0x in
+        # another — scheduling across long straight-line spans is not
+        # reliable; the per-pair weave holds the overlap structurally).
+        i, j, waited = c[0], c[1], c[2]
+        prev = c[3:]
+        hi_w = (i + _GROUP_SLACK - 1) >> _WIN_SHIFT
+
+        def advance(st):
+            i_, w_ = st
+            win_copy(w_ + 1).wait()
+            win_copy(w_ + 3).start()
+            return i_, w_ + 1
+
+        i, waited = jax.lax.cond(hi_w > waited, advance, lambda st: st,
+                                 (i, waited))
+        ctrl = byte_at(i)
+        i += 1
+        fields = []
+        for pair_ix in range(4):
+            size_byte = byte_at(i)
+            i += 1
+            anchor = j
+            for half in range(2):
+                nib = (size_byte >> 4) if half == 0 else (size_byte & 15)
+                is_lit = (ctrl >> (7 - pair_ix * 2 - half)) & 1
+                lit_sz = nib + 1
+                mat_sz = jnp.where(jnp.logical_and(ext != 0, nib < 3),
+                                   32 + 16 * nib, nib + 1)
+                off = u16_at(i)
+                src = jnp.where(is_lit == 1, i,
+                                pay_bytes + anchor - off)
+                sz = jnp.where(is_lit == 1, lit_sz, mat_sz)
+                i = i + jnp.where(is_lit == 1, lit_sz, 2)
+                fields += [pay_bytes + j, sz, jnp.clip(src, 0, None)]
+                j = j + sz
+            _reconstruct_pair(u_ref, u_rows, cs,
+                              *prev[6 * pair_ix:6 * pair_ix + 6])
+        return (i, j, waited) + tuple(fields)
 
     # prime the pipeline: parse group 0 before the loop
     i0, j0, w0, f0 = parse_group(jnp.int32(3), dict_len, jnp.int32(0))
