@@ -286,6 +286,15 @@ uint32_t encode_candidates_impl(const uint8_t* in, uint32_t base,
     }
     sink.literals(in, run_start, i);
     if (!(i < end)) break;
+    // The trailing flush can advance the anchor past the candidate's
+    // 16-bit offset reach; an unvalidated emit would wrap the offset mod
+    // 2^16 and corrupt the stream (the upstream re-checks here too,
+    // tsq_encode.cpp:298 "rep_last_i might have changed"). Re-walk the
+    // chain under the new anchor; rescan when nothing usable remains.
+    if (sink.anchor - pos > 65534) {
+      pos = usable_candidate(cand, i, sink.anchor);
+      if (pos == UINT32_MAX) continue;
+    }
 
     for (;;) {
       uint32_t k = (uint32_t)tz_bytes(load64(&in[i]) ^ load64(&in[pos]));

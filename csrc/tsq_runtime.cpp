@@ -498,16 +498,23 @@ int64_t decompress_file(const char* in_path, const char* out_path,
     if (status != 0) break;
     std::atomic<int64_t> err{0};
     parallel_blocks(batch, n_threads, [&](int t, size_t k) {
-      DecodeScratch& s = *scratch[t];
+      (void)t;
       size_t psz = inputs[k].size() - kDecInSlack;
-      int64_t r =
-          decode_block(inputs[k].data(), psz, s.out.data(), s.out.size(),
-                       exts[k]);
+      // Decode DIRECTLY into the output staging vector (sized from the
+      // declared block size) — no per-block scratch copy. The block
+      // decoder never writes past its declared size (fast loop stops 640
+      // bytes early, exact-width tail), so exact capacity suffices.
+      uint32_t decl = psz >= 3 ? (inputs[k][0] | (inputs[k][1] << 8) |
+                                  ((uint32_t)inputs[k][2] << 16))
+                               : 0;
+      outputs[k].resize(std::min<uint32_t>(decl, kBlockSize));
+      int64_t r = decode_block(inputs[k].data(), psz, outputs[k].data(),
+                               outputs[k].size(), exts[k]);
       if (r < 0) {
         err.store(r);
         return false;
       }
-      outputs[k].assign(s.out.data(), s.out.data() + r);
+      outputs[k].resize(r);
       ticker.tick();
       return true;
     });

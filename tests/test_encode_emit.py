@@ -113,3 +113,27 @@ def test_emit_dictionary_identity(native):
     # the dict stream decodes back through the host dict decoder
     assert len(want) < len(native.encode_block_candidates(
         blk, native.build_candidates(blk), True))  # dict actually helps
+
+
+def _window_edge_case(q):
+    """Candidate at the 16-bit window edge + an anchor-advancing trailing
+    literal flush: the r2 offset-wrap regression (a match validated just
+    inside 65534 becomes unrepresentable after the flush moves the
+    anchor; an unvalidated emit wraps the offset mod 2^16)."""
+    P = bytes(range(65, 81))
+    out = bytearray()
+    c = 0
+    while len(out) < q - 16:                  # all 4-byte windows unique
+        out += bytes(((c >> 16) & 127 | 128, (c >> 8) & 255, c & 255))
+        c += 1
+    filler = bytes(out[:q - 16])
+    return P + filler + P + bytes(300)
+
+
+def test_offset_window_edge_regression(native):
+    for q in (65535, 65544, 65554, 65565):
+        data = _window_edge_case(q)
+        s1 = native.compress(data, True, level=1)
+        assert native.decompress(s1) == data, f"host level-1 corrupt q={q}"
+        gots, wants = run_emit(native, [data], True)
+        assert gots[0] == wants[0], f"device emit diverges q={q}"

@@ -446,6 +446,12 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
         sink = sst[3:13]
         # trailing literals of the run (<= 32 bytes by the flush rule)
         sink = do_literals(sink, run_start, i, 2)
+        # the trailing flush can advance the anchor past the candidate's
+        # 16-bit reach; re-walk the chain under the new anchor (host
+        # parity: an unvalidated emit would wrap the offset mod 2^16 —
+        # the upstream re-checks too, tsq_encode.cpp:298)
+        pos = jnp.where(sink[4] - pos > 65534,
+                        usable(i, sink[4]), pos)
 
         def after_end(mst):
             return mst
@@ -491,7 +497,9 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
             return (m[0], m[1], jnp.int32(0)) + m[3:13] + (m[13], m[14])
 
         mst = (i, pos, jnp.int32(0)) + sink + (wi_in, wi_cand)
-        mst = jax.lax.cond(i < end, matches, after_end, mst)
+        mst = jax.lax.cond(
+            jnp.logical_and(i < end, pos != _NONE), matches, after_end,
+            mst)
         i, wi_in, wi_cand = mst[0], mst[13], mst[14]
         sink = mst[3:13]
         live = (i < end).astype(jnp.int32)
