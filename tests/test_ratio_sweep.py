@@ -75,6 +75,16 @@ def test_ratio_parity_sweep(native, harness, tmp_path, ext):
         assert len(s2) <= len(s1), f"{name}: level 2 larger than level 1"
         # everything roundtrips
         assert native.decompress(s2) == data
+        # format compatibility: the UPSTREAM BINARY decodes our level-1
+        # and level-2 streams (same bitstream format, better parse)
+        for lvl, stream in (("l1", s1), ("l2", s2)):
+            sp = tmp_path / f"{name}.{lvl}.tsq"
+            dp = tmp_path / f"{name}.{lvl}.out"
+            sp.write_bytes(stream)
+            subprocess.run([str(harness), "d", str(sp), str(dp)],
+                           check=True)
+            assert dp.read_bytes() == data, (
+                f"{name}: upstream cannot decode our {lvl} stream")
         rows.append((name, rsize, len(s0), len(s1), len(s2)))
     # table printed for the bench log (pytest -s)
     print(f"\nratio sweep (ext={ext}), 1 MiB per class:")

@@ -82,6 +82,14 @@ def cmd_decompress(args) -> int:
 
         out_size = native.decompress_file(args.input, args.output,
                                           args.threads)
+    elif args.backend == "tpu":
+        # sharded decode with per-host ordered writes (each process
+        # writes its own shards at their fixed 4 MiB offsets)
+        from .parallel import pipeline
+
+        stream = open(args.input, "rb").read()
+        out_size = pipeline.decompress_to_file(stream, args.output,
+                                               dictionary=dictionary)
     else:
         from .runtime.api import decompress
 
