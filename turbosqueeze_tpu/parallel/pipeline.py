@@ -414,7 +414,8 @@ def _decode_window_pallas(parsed, mesh: Mesh, interpret: bool,
 def decompress(stream: bytes, mesh: Optional[Mesh] = None,
                interpret: bool = False, impl: str = "auto",
                window_blocks: int = 0,
-               dictionary: Optional[bytes] = None) -> bytes:
+               dictionary: Optional[bytes] = None,
+               progress=None) -> bytes:
     """Full device decode -> ordered host assembly (the writer-thread role).
 
     impl: 'stream' = the fused on-chip parser (TPU production path: the
@@ -451,13 +452,15 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
         if impl == "stream":
             parts.extend(_decode_window_stream(stream, win, mesh,
                                                dictionary))
-            continue
-        parsed, _ = _tokenize_all(stream, win, dictionary)
-        if impl == "xla":
-            parts.extend(_decode_window_xla(parsed, mesh, base))
         else:
-            parts.extend(_decode_window_pallas(parsed, mesh, interpret,
-                                               base))
+            parsed, _ = _tokenize_all(stream, win, dictionary)
+            if impl == "xla":
+                parts.extend(_decode_window_xla(parsed, mesh, base))
+            else:
+                parts.extend(_decode_window_pallas(parsed, mesh, interpret,
+                                                   base))
+        if progress is not None:
+            progress(len(parts), len(table))
     out = b"".join(parts)
     if len(out) != hdr.total_size:
         raise FormatError(
@@ -580,7 +583,7 @@ def decompress_to_file(stream: bytes, out_path, mesh: Optional[Mesh] = None,
 
 def compress(data: bytes, ext: bool = True, level: int = 1,
              mesh: Optional[Mesh] = None,
-             dictionary: Optional[bytes] = None) -> bytes:
+             dictionary: Optional[bytes] = None, progress=None) -> bytes:
     """Device candidate search + host emission -> .tsq container.
 
     The device path is the candidate parse: ``level`` <= 1 selects the
@@ -652,6 +655,8 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
                 payload = EE.payload_from_words(words_host[b], psz)
                 parts.append(pack_block_header(psz, ext))
                 parts.append(payload)
+            if progress is not None:
+                progress(min(lo + window, len(blocks)), len(blocks))
             continue
         cands_host = _to_host(cands)
 
@@ -673,4 +678,6 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
         for payload in payloads:
             parts.append(pack_block_header(len(payload), ext))
             parts.append(payload)
+        if progress is not None:
+            progress(min(lo + window, len(blocks)), len(blocks))
     return b"".join(parts)

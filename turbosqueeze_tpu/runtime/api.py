@@ -31,7 +31,8 @@ def _resolve(backend: str) -> str:
 
 
 def compress(data: bytes, ext: bool = True, backend: str = "auto",
-             level: int = 0, dictionary: bytes = None) -> bytes:
+             level: int = 0, dictionary: bytes = None,
+             progress=None) -> bytes:
     """Compress bytes into a .tsq container.
 
     ``level`` selects the parse: 0 reproduces the upstream greedy parse
@@ -53,7 +54,7 @@ def compress(data: bytes, ext: bool = True, backend: str = "auto",
         from ..parallel import pipeline
 
         return pipeline.compress(data, ext, level=max(level, 1),
-                                 dictionary=dictionary)
+                                 dictionary=dictionary, progress=progress)
     if b == "oracle":
         from .. import reference_codec
 
@@ -61,14 +62,14 @@ def compress(data: bytes, ext: bool = True, backend: str = "auto",
     if b == "native":
         from . import native
 
-        return native.compress(data, ext, level=level)
+        return native.compress(data, ext, level=level, progress=progress)
     from ..parallel import pipeline
 
-    return pipeline.compress(data, ext, level=level)
+    return pipeline.compress(data, ext, level=level, progress=progress)
 
 
 def decompress(stream: bytes, backend: str = "auto",
-               dictionary: bytes = None) -> bytes:
+               dictionary: bytes = None, progress=None) -> bytes:
     """Decompress a .tsq container back to the original bytes."""
     if len(stream) < 16 or stream[:4] != b"TSQ1":
         raise FormatError("not a TSQ1 stream")
@@ -77,7 +78,8 @@ def decompress(stream: bytes, backend: str = "auto",
         if b == "tpu":
             from ..parallel import pipeline
 
-            return pipeline.decompress(stream, dictionary=dictionary)
+            return pipeline.decompress(stream, dictionary=dictionary,
+                                       progress=progress)
         if b == "oracle":
             from .. import reference_codec
 
@@ -92,7 +94,7 @@ def decompress(stream: bytes, backend: str = "auto",
     if b == "native":
         from . import native
 
-        return native.decompress(stream)
+        return native.decompress(stream, progress=progress)
     from ..parallel import pipeline
 
-    return pipeline.decompress(stream)
+    return pipeline.decompress(stream, progress=progress)

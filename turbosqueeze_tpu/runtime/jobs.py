@@ -154,10 +154,10 @@ class JobEngine:
                 job.on_progress(job.jobid, 0.0)
 
             # per-block fractions ride the native core's progress callback
-            # (tsq_threads.cpp:248-254 parity); other backends report the
-            # 0.0 / 1.0 endpoints only
+            # (tsq_threads.cpp:248-254 parity); the TPU pipeline reports
+            # per-window fractions; the oracle reports endpoints only
             per_block = None
-            if job.on_progress and self._native_ok():
+            if job.on_progress:
                 def per_block(done, total, job=job):
                     job.on_progress(job.jobid, done / max(total, 1))
 
@@ -185,19 +185,12 @@ class JobEngine:
                 data = open(job.in_path, "rb").read()
             else:
                 data = job.data
-            if per_block is not None:
-                from . import native
-
-                if job.kind == "compress":
-                    result = native.compress(data, job.ext, job.level,
-                                             progress=per_block)
-                else:
-                    result = native.decompress(data, progress=per_block)
-            elif job.kind == "compress":
+            if job.kind == "compress":
                 result = _compress(data, ext=job.ext, backend=self._backend,
-                                   level=job.level)
+                                   level=job.level, progress=per_block)
             else:
-                result = _decompress(data, backend=self._backend)
+                result = _decompress(data, backend=self._backend,
+                                     progress=per_block)
             if job.out_path is not None:
                 with open(job.out_path, "wb") as f:
                     f.write(result)
