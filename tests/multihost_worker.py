@@ -41,6 +41,12 @@ def main():
     # file path: PER-HOST ordered writes — each process writes its own
     # shards at their block offsets; no host gathers another's bytes
     pipeline.decompress_to_file(stream, out_path + ".perhost", impl="xla")
+    # compress across both processes: shard-local block packing
+    # (_device_put_rows), sharded candidate search, ordered gather
+    restream = pipeline.compress(out, ext=True, level=1)
+    if jax.process_index() == 0:
+        with open(out_path + ".tsq2", "wb") as f:
+            f.write(restream)
     jax.distributed.shutdown()
 
 

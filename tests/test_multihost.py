@@ -50,3 +50,8 @@ def test_two_process_sharded_decompress(tmp_path):
     # per-host file writes (decompress_to_file): every process wrote its
     # own blocks; the assembled file must still be exact and in order
     assert Path(str(out_path) + ".perhost").read_bytes() == data
+    # 2-process sharded COMPRESS: the container must match the
+    # single-process level-1 parse byte-for-byte and roundtrip
+    restream = Path(str(out_path) + ".tsq2").read_bytes()
+    assert restream == native.compress(data, True, level=1)
+    assert native.decompress(restream) == data
