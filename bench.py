@@ -35,6 +35,21 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 
+def _enable_jax_cache():
+    """Persistent XLA/Mosaic compilation cache: the fused-kernel compiles
+    cost minutes per process; caching them makes repeat bench runs (and
+    the driver's end-of-round run) near-instant after the first."""
+    try:
+        import jax
+
+        cache = REPO / ".benchdata" / "jaxcache"
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:
+        log(f"jax cache unavailable: {e}")
+
+
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
@@ -154,19 +169,9 @@ def bench_tpu_kernel(data: bytes, native) -> float:
 def ratio_sweep(native, harness, tmpdir):
     """Mixed-corpus per-file-class ratio table vs the upstream binary
     (BASELINE config 3; Silesia stand-in, no egress)."""
-    from turbosqueeze_tpu.utils.corpus import (
-        incompressible, synthetic_binary, synthetic_text)
+    from turbosqueeze_tpu.utils.corpus import ratio_sweep_files
 
-    files = {
-        "text": synthetic_text(1 << 20, seed=301),
-        "binary-records": synthetic_binary(1 << 20, seed=302),
-        "zeros": bytes(1 << 20),
-        "incompressible": incompressible(1 << 20, seed=303),
-        "mixed": (synthetic_text(300_000, seed=304)
-                  + incompressible(200_000, seed=305)
-                  + synthetic_binary(300_000, seed=306)
-                  + bytes(200_000)),
-    }
+    files = ratio_sweep_files()
     log("ratio sweep (ext, 1 MiB per class) — upstream vs levels 0/1/2:")
     log(f"  {'file':16s} {'upstream':>10s} {'lvl0':>10s} {'lvl1':>10s} "
         f"{'lvl2':>10s}")
@@ -186,6 +191,7 @@ def ratio_sweep(native, harness, tmpdir):
 
 def main():
     size_mb = int(os.environ.get("TSQ_BENCH_MB", "256"))
+    _enable_jax_cache()
     native = ensure_native()
     data = get_corpus(size_mb)
     mb = len(data) / 1e6

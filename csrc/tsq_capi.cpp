@@ -81,17 +81,20 @@ void tsq_build_candidates(const uint8_t* in_padded, uint32_t in_size,
 int64_t tsq_compress_mt_dict(const uint8_t* in, uint64_t in_size,
                              const uint8_t* dict, uint32_t dict_len,
                              uint8_t* out, uint64_t out_capacity, int ext,
-                             int n_threads, uint32_t level) {
+                             int n_threads, uint32_t level,
+                             tsq_progress_fn cb, void* ctx) {
   return tsq::compress_mt_dict(in, in_size, dict, dict_len, out,
-                               out_capacity, ext != 0, n_threads, level);
+                               out_capacity, ext != 0, n_threads, level,
+                               cb, ctx);
 }
 
 int64_t tsq_decompress_mt_dict(const uint8_t* in, uint64_t in_size,
                                const uint8_t* dict, uint32_t dict_len,
                                uint8_t* out, uint64_t out_capacity,
-                               int n_threads) {
+                               int n_threads, tsq_progress_fn cb,
+                               void* ctx) {
   return tsq::decompress_mt_dict(in, in_size, dict, dict_len, out,
-                                 out_capacity, n_threads);
+                                 out_capacity, n_threads, cb, ctx);
 }
 
 int64_t tsq_encode_block_dict(const uint8_t* concat_padded,

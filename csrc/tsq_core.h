@@ -161,10 +161,14 @@ int64_t decode_block_dict(const uint8_t* in, size_t in_size,
 int64_t compress_mt_dict(const uint8_t* in, size_t in_size,
                          const uint8_t* dict, uint32_t dict_len,
                          uint8_t* out, size_t out_capacity, bool ext,
-                         int n_threads, uint32_t level = 1);
+                         int n_threads, uint32_t level = 1,
+                         ProgressFn progress = nullptr,
+                         void* progress_ctx = nullptr);
 int64_t decompress_mt_dict(const uint8_t* in, size_t in_size,
                            const uint8_t* dict, uint32_t dict_len,
-                           uint8_t* out, size_t out_capacity, int n_threads);
+                           uint8_t* out, size_t out_capacity,
+                           int n_threads, ProgressFn progress = nullptr,
+                           void* progress_ctx = nullptr);
 
 // --- Token extraction (device feeding) --------------------------------------
 //

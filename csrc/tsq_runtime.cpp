@@ -96,14 +96,21 @@ struct DecodeScratch {
   DecodeScratch() : out(kBlockSize + kDecOutSlack) {}
 };
 
-// Shared per-block progress ticker (atomic done count, completion order).
+// Shared per-block progress ticker. The count increment and the callback
+// run under one mutex so fractions reach the callback MONOTONICALLY even
+// when worker threads finish blocks back-to-back (an unlocked fetch_add
+// could deliver done=2 before done=1); workers hold no GIL here, so the
+// ctypes trampoline's GIL acquisition cannot deadlock against it.
 struct ProgressTicker {
   ProgressFn fn;
   void* ctx;
   uint64_t total;
-  std::atomic<uint64_t> done{0};
+  uint64_t done = 0;
+  std::mutex m;
   void tick() {
-    if (fn) fn(ctx, done.fetch_add(1, std::memory_order_relaxed) + 1, total);
+    if (!fn) return;
+    std::lock_guard<std::mutex> g(m);
+    fn(ctx, ++done, total);
   }
 };
 
@@ -249,7 +256,9 @@ int64_t decompress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
 int64_t compress_mt_dict(const uint8_t* in, size_t in_size,
                          const uint8_t* dict, uint32_t dict_len,
                          uint8_t* out, size_t out_capacity, bool ext,
-                         int n_threads, uint32_t level) {
+                         int n_threads, uint32_t level,
+                         ProgressFn progress, void* progress_ctx) {
+  ProgressTicker ticker{progress, progress_ctx, n_blocks_for(in_size)};
   if (dict_len == 0 || dict_len > kMaxDict) return kErrBadPayload;
   size_t n_blocks = n_blocks_for(in_size);
   if (out_capacity < kContainerHeaderSize) return kErrOutputTooSmall;
@@ -282,6 +291,7 @@ int64_t compress_mt_dict(const uint8_t* in, size_t in_size,
                                      s.cand.data(), s.out.data(), ext,
                                      level);
     results[b].assign(s.out.data(), s.out.data() + psz);
+    ticker.tick();
     return true;
   });
   if (!ok) return kErrBadPayload;
@@ -300,7 +310,8 @@ int64_t compress_mt_dict(const uint8_t* in, size_t in_size,
 
 int64_t decompress_mt_dict(const uint8_t* in, size_t in_size,
                            const uint8_t* dict, uint32_t dict_len,
-                           uint8_t* out, size_t out_capacity, int n_threads) {
+                           uint8_t* out, size_t out_capacity, int n_threads,
+                           ProgressFn progress, void* progress_ctx) {
   if (dict_len == 0 || dict_len > kMaxDict) return kErrBadPayload;
   if (in_size < kContainerHeaderSize) return kErrTruncated;
   if (std::memcmp(in, "TSQ1", 4) != 0) return kErrBadMagic;
@@ -332,6 +343,7 @@ int64_t decompress_mt_dict(const uint8_t* in, size_t in_size,
     std::vector<uint8_t> in;
     DictDecScratch() : out(kMaxDict + kBlockSize + kDecOutSlack) {}
   };
+  ProgressTicker ticker{progress, progress_ctx, n_blocks};
   int T = pool_size(n_threads);
   std::vector<std::unique_ptr<DictDecScratch>> scratch;
   for (int t = 0; t < T; ++t) scratch.emplace_back(new DictDecScratch());
@@ -360,6 +372,7 @@ int64_t decompress_mt_dict(const uint8_t* in, size_t in_size,
     }
     std::memcpy(out + dst, s.out.data() + dict_len, (size_t)r);
     produced.fetch_add((uint64_t)r);
+    ticker.tick();
     return true;
   });
   if (err.load() != 0) return err.load();
@@ -469,8 +482,7 @@ int64_t decompress_file(const char* in_path, const char* out_path,
 
   int T = pool_size(n_threads);
   size_t W = (size_t)T * 2;
-  std::vector<std::unique_ptr<DecodeScratch>> scratch;
-  for (int t = 0; t < T; ++t) scratch.emplace_back(new DecodeScratch());
+  // no per-worker scratch: blocks decode directly into the write staging
 
   std::vector<std::vector<uint8_t>> inputs(W);
   std::vector<std::vector<uint8_t>> outputs(W);

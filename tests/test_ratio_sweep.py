@@ -14,11 +14,7 @@ from pathlib import Path
 
 import pytest
 
-from turbosqueeze_tpu.utils.corpus import (
-    incompressible,
-    synthetic_binary,
-    synthetic_text,
-)
+from turbosqueeze_tpu.utils.corpus import ratio_sweep_files
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -40,16 +36,7 @@ def harness(golden_harness):
 
 
 def corpus_files():
-    return {
-        "text": synthetic_text(1 << 20, seed=301),
-        "binary-records": synthetic_binary(1 << 20, seed=302),
-        "zeros": bytes(1 << 20),
-        "incompressible": incompressible(1 << 20, seed=303),
-        "mixed": (synthetic_text(300_000, seed=304)
-                  + incompressible(200_000, seed=305)
-                  + synthetic_binary(300_000, seed=306)
-                  + bytes(200_000)),
-    }
+    return ratio_sweep_files()
 
 
 def ref_size(harness, tmp_path, name, data, ext):

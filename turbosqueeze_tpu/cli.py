@@ -31,12 +31,10 @@ def _read_dict(args):
 
 
 def _native_streaming(backend: str) -> bool:
-    if backend not in ("auto", "native"):
-        return False
     try:
         from .runtime import native
 
-        return native.available()
+        return native.streaming_ok(backend)
     except Exception:
         return False
 

@@ -466,6 +466,12 @@ def decode_ring_batch(payload_words, meta, dict_words=None, *,
     if pay_rows % _WIN_ROWS or pay_rows < _WIN_ROWS:
         raise ValueError(
             f"pay_rows must be a positive multiple of {_WIN_ROWS}")
+    if out_rows % _EVICT_CHUNK:
+        # eviction clamps the HBM destination row to out_rows-8 without
+        # adjusting the window source; a ragged out_rows would silently
+        # shift the final rows
+        raise ValueError(
+            f"out_rows must be a multiple of {_EVICT_CHUNK}, got {out_rows}")
     if dict_words is None:
         dict_words = jnp.zeros((8, LANES), jnp.int32)
         dict_rows = 0

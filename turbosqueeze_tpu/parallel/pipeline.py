@@ -486,6 +486,10 @@ def decompress_to_file(stream: bytes, out_path, mesh: Optional[Mesh] = None,
 
     if impl == "auto":
         impl = "stream" if jax.default_backend() == "tpu" else "xla"
+    if impl not in ("stream", "xla"):
+        raise ValueError(
+            f"decompress_to_file supports impl 'stream' or 'xla', "
+            f"got {impl!r}")
     if mesh is None:
         mesh = mesh_mod.block_mesh()
     if window_blocks <= 0:
@@ -649,7 +653,13 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
                 words, osz = _sharded_emit(mesh, ext)(
                     dev_batch, cands, _device_put(meta, sharding))
             osz_host = _to_host(osz)
-            words_host = _to_host(words)
+            # gather only the live payload rows (the capacity is ~5.25 MiB
+            # per block; at typical ratios the live prefix is half that —
+            # this is the bulk cross-DCN traffic on multi-host meshes)
+            max_psz = int(osz_host[:len(win), 0].max())
+            max_rows = -(-(max_psz + 16) // 512)
+            max_rows = max(8, min(EE.OUT_ROWS, -(-max_rows // 8) * 8))
+            words_host = _to_host(words[:, :max_rows])
             for b in range(len(win)):
                 psz = int(osz_host[b, 0])
                 payload = EE.payload_from_words(words_host[b], psz)

@@ -50,7 +50,8 @@ def compress(data: bytes, ext: bool = True, backend: str = "auto",
             from . import native
 
             return native.compress_dict(data, dictionary, ext,
-                                        level=max(level, 1))
+                                        level=max(level, 1),
+                                        progress=progress)
         from ..parallel import pipeline
 
         return pipeline.compress(data, ext, level=max(level, 1),
@@ -86,7 +87,8 @@ def decompress(stream: bytes, backend: str = "auto",
             return reference_codec.decompress(stream, dictionary=dictionary)
         from . import native
 
-        return native.decompress_dict(stream, dictionary)
+        return native.decompress_dict(stream, dictionary,
+                                      progress=progress)
     if b == "oracle":
         from .. import reference_codec
 

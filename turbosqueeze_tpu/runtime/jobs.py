@@ -134,12 +134,10 @@ class JobEngine:
         return job
 
     def _native_ok(self) -> bool:
-        if self._backend not in ("auto", "native"):
-            return False
         try:
             from . import native
 
-            return native.available()
+            return native.streaming_ok(self._backend)
         except Exception:
             return False
 

@@ -104,11 +104,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tsq_compress_mt_dict.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint32,
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
-        ctypes.c_uint32]
+        ctypes.c_uint32, PROGRESS_CFUNC, ctypes.c_void_p]
     lib.tsq_decompress_mt_dict.restype = ctypes.c_int64
     lib.tsq_decompress_mt_dict.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint32,
-        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, PROGRESS_CFUNC,
+        ctypes.c_void_p]
     lib.tsq_compress_mt_cb.restype = ctypes.c_int64
     lib.tsq_compress_mt_cb.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
@@ -137,7 +138,8 @@ MAX_DICT = 65536 - 4
 
 
 def compress_dict(data: bytes, dictionary: bytes, ext: bool = True,
-                  n_threads: int = 0, level: int = 1) -> bytes:
+                  n_threads: int = 0, level: int = 1,
+                  progress=None) -> bytes:
     """Compress with a preset dictionary (shared 64 KiB context virtually
     preceding every block; framework extension — see csrc/tsq_core.h)."""
     import numpy as np
@@ -149,16 +151,18 @@ def compress_dict(data: bytes, dictionary: bytes, ext: bool = True,
         raise ValueError(f"dictionary must be 1..{MAX_DICT} bytes")
     bound = lib.tsq_compress_bound(len(data))
     out = np.empty(bound, dtype=np.uint8)
+    cb, _keep = _wrap_progress(progress)
     n = lib.tsq_compress_mt_dict(data, len(data), dictionary,
                                  len(dictionary), _as_ptr(out), bound,
-                                 1 if ext else 0, n_threads, level)
+                                 1 if ext else 0, n_threads, level, cb,
+                                 None)
     if n < 0:
         raise RuntimeError(f"native dict compress failed (code {n})")
     return out[:n].tobytes()
 
 
 def decompress_dict(stream: bytes, dictionary: bytes,
-                    n_threads: int = 0) -> bytes:
+                    n_threads: int = 0, progress=None) -> bytes:
     from ..format import FormatError
 
     lib = _load()
@@ -170,8 +174,10 @@ def decompress_dict(stream: bytes, dictionary: bytes,
     if size < 0:
         raise FormatError(f"bad .tsq stream (code {size})")
     out, ptr = _alloc_exact_bytes(size)
+    cb, _keep = _wrap_progress(progress)
     n = lib.tsq_decompress_mt_dict(stream, len(stream), dictionary,
-                                   len(dictionary), ptr, size, n_threads)
+                                   len(dictionary), ptr, size, n_threads,
+                                   cb, None)
     if n < 0:
         raise FormatError(f"native dict decompress failed (code {n})")
     if n != size:
@@ -294,6 +300,18 @@ def _wrap_progress(progress):
 
 def available() -> bool:
     return _load() is not None
+
+
+def streaming_ok(backend: str) -> bool:
+    """True when `backend` resolves to this native core (the streaming
+    file pipeline / per-block progress fast paths apply). Single source of
+    truth for the CLI and the JobEngine."""
+    if backend not in ("auto", "native"):
+        return False
+    try:
+        return available()
+    except Exception:
+        return False
 
 
 def _as_ptr(arr) -> ctypes.c_char_p:

@@ -85,5 +85,21 @@ def standard_cases() -> List[bytes]:
     ]
 
 
+def ratio_sweep_files() -> dict:
+    """The mixed-corpus file classes for the ratio parity sweep (BASELINE
+    config 3 stand-in) — shared by bench.py and tests/test_ratio_sweep.py
+    so the two cannot drift apart."""
+    return {
+        "text": synthetic_text(1 << 20, seed=301),
+        "binary-records": synthetic_binary(1 << 20, seed=302),
+        "zeros": bytes(1 << 20),
+        "incompressible": incompressible(1 << 20, seed=303),
+        "mixed": (synthetic_text(300_000, seed=304)
+                  + incompressible(200_000, seed=305)
+                  + synthetic_binary(300_000, seed=306)
+                  + bytes(200_000)),
+    }
+
+
 def checksum(data: bytes) -> int:
     return zlib.crc32(data)
