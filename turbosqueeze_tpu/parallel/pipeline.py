@@ -306,9 +306,12 @@ def _sharded_decode_xla(mesh: Mesh, n_out: int = DXL.OUT_N):
 
 
 @functools.lru_cache(maxsize=8)
-def _sharded_decode_stream(mesh: Mesh, out_rows: int = DK.OUT_ROWS):
+def _sharded_decode_stream(mesh: Mesh, out_rows: int = DK.OUT_ROWS,
+                           kernel: str = "stream"):
     """jit(shard_map(fused parse+reconstruct kernel)) over the block axis;
-    the preset dictionary rides REPLICATED (the BASELINE broadcast)."""
+    the preset dictionary rides REPLICATED (the BASELINE broadcast).
+    kernel 'ring' selects the K-stream sliding-window decoder
+    (kernels/decode_ring.py) instead of the single-stream default."""
     spec = P(mesh_mod.BLOCK_AXIS)
 
     @jax.jit
@@ -316,16 +319,23 @@ def _sharded_decode_stream(mesh: Mesh, out_rows: int = DK.OUT_ROWS):
                        in_specs=(spec, spec, P()), out_specs=spec,
                        check_vma=False)
     def run(payload_words, meta, dict_words):
+        interp = jax.default_backend() == "cpu"
+        if kernel == "ring":
+            from ..kernels import decode_ring as DRG
+
+            streams = min(8, payload_words.shape[0])
+            return DRG.decode_ring_batch(
+                payload_words, meta, dict_words, out_rows=out_rows,
+                streams=streams, interpret=interp)
         return DST.decode_stream_batch(payload_words, meta, dict_words,
-                                       out_rows=out_rows,
-                                       interpret=jax.default_backend()
-                                       == "cpu")
+                                       out_rows=out_rows, interpret=interp)
 
     return run
 
 
 def _decode_window_stream(stream, table_window, mesh: Mesh,
-                          dictionary: Optional[bytes] = None) -> List[bytes]:
+                          dictionary: Optional[bytes] = None,
+                          kernel: str = "stream") -> List[bytes]:
     """Decode one window of blocks via the fused on-chip parser — no host
     tokenization at all; the raw payloads are the only device input (plus
     the replicated preset dictionary when one is in play)."""
@@ -354,7 +364,7 @@ def _decode_window_stream(stream, table_window, mesh: Mesh,
     dict_words = (DST.pack_dict_words(dictionary) if dictionary
                   else np.zeros((8, DK.LANES), np.int32))
     sharding = mesh_mod.block_sharding(mesh)
-    host = _to_host(_sharded_decode_stream(mesh, out_rows)(
+    host = _to_host(_sharded_decode_stream(mesh, out_rows, kernel)(
         _device_put_rows((B, DK.PAY_ROWS, DK.LANES), np.int32, sharding,
                          pack_rows),
         _device_put(meta, sharding),
@@ -420,6 +430,8 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
 
     impl: 'stream' = the fused on-chip parser (TPU production path: the
     raw payload is the only device input — phase A AND B on chip);
+    'ring' = the K-stream sliding-window variant of the fused parser
+    (kernels/decode_ring.py: bounded VMEM, blocks decoded in lockstep);
     'pallas' = the token-chunk kernel (host tokenize + on-chip byte
     movement; handles dictionaries); 'xla' = the portable scatter/gather +
     pointer-doubling formulation (fast path on CPU meshes and any backend
@@ -449,9 +461,9 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
         win = table[lo:lo + window_blocks]
         if not win:
             continue
-        if impl == "stream":
+        if impl in ("stream", "ring"):
             parts.extend(_decode_window_stream(stream, win, mesh,
-                                               dictionary))
+                                               dictionary, kernel=impl))
         else:
             parsed, _ = _tokenize_all(stream, win, dictionary)
             if impl == "xla":
