@@ -3,7 +3,7 @@
 The r1 fused kernel (decode_stream.py) decodes ONE block per grid step, so
 the ~85-cycle crossbar latency of each pair reconstruction and the scalar
 parse chain serialize down a single token stream. Blocks are independent,
-and slope-measured microbenchmarks (.scratch/r2_micro.py, recorded in
+and slope-measured microbenchmarks (bench/microbench_scheduling.py, recorded in
 BASELINE.md) show
   * gathers/RMWs on SEPARATE scratch refs pipeline across streams at a
     marginal ~4-5 cyc/pair (one shared scratch serializes them at ~90+:
