@@ -137,3 +137,34 @@ def test_offset_window_edge_regression(native):
         assert native.decompress(s1) == data, f"host level-1 corrupt q={q}"
         gots, wants = run_emit(native, [data], True)
         assert gots[0] == wants[0], f"device emit diverges q={q}"
+
+
+def test_emit_table_mode_level0_identity(native):
+    """matcher='table': the upstream's exact 16-bit hash-table parse runs
+    entirely in the kernel (no phase-A candidates) and reproduces the
+    level-0 (upstream-byte-identical) payload."""
+    from turbosqueeze_tpu.format import iter_container
+
+    rng = np.random.default_rng(7)
+    cases = [synthetic_text(50_000, seed=42), bytes(20_000),
+             rng.bytes(25_000),
+             synthetic_text(10_000, seed=43) + bytes(5_000)
+             + rng.bytes(8_000)]
+    B = len(cases)
+    iw = np.zeros((B, EE.IN_ROWS, 128), np.int32)
+    meta = np.zeros((B, 8), np.int32)
+    wants_ext, wants_noext = [], []
+    for b, blk in enumerate(cases):
+        iw[b] = EE.pack_input_words(blk)
+        meta[b, 0] = len(blk)
+        wants_ext.append(
+            next(iter_container(native.compress(blk, True, level=0)))[1])
+        wants_noext.append(
+            next(iter_container(native.compress(blk, False, level=0)))[1])
+    for ext, wants in ((True, wants_ext), (False, wants_noext)):
+        out, osz = EE.emit_batch(iw, None, meta, ext=ext, interpret=True,
+                                 matcher="table")
+        out, osz = np.asarray(out), np.asarray(osz)
+        for b, want in enumerate(wants):
+            got = EE.payload_from_words(out[b], int(osz[b, 0]))
+            assert got == want, f"block {b} ext={ext}"

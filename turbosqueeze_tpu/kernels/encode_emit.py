@@ -49,7 +49,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..format import BLOCK_SZ, OUTPUT_SZ
+from ..format import BLOCK_SZ, HASH_MASK, OUTPUT_SZ
 from .decode_tokens import LANES, ROW_BYTES
 
 # Shapes include a 64 KiB + slack dictionary margin: in dictionary mode the
@@ -89,11 +89,16 @@ def _lsr(x, n):
 
 
 def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
-                 sin, scand, sout, sem_i, sem_c, sem_o, *, ext):
+                 sin, scand, sout, sem_i, sem_c, sem_o, *, ext,
+                 matcher="cand"):
     b = pl.program_id(0)
     size = meta_ref[b, 0]
     base = meta_ref[b, 1]          # dict length (0 for plain blocks)
     end = base + size
+    # matcher="table": scand IS the upstream 2^17-entry 16-bit hash table
+    # (two entries packed per i32 word, zeroed per block below) and the
+    # candidate ring/DMAs are absent — the exact tsqEncode probe semantics
+    # (tsq_encode.cpp:222-229) run inline in the scan.
 
     # --- ring DMAs ----------------------------------------------------------
     def in_dma(w):
@@ -134,17 +139,28 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
             dma.start()
             dma.wait()
 
-    @pl.when(base > 0)
-    def _():
-        dma = cand_dma(jnp.maximum(s0_cand - 1, 0))
-        dma.start()
-        dma.wait()
+    if matcher == "cand":
+        @pl.when(base > 0)
+        def _():
+            dma = cand_dma(jnp.maximum(s0_cand - 1, 0))
+            dma.start()
+            dma.wait()
 
     for d in range(3):
         in_dma(s0_in + d).start()
-        cand_dma(s0_cand + d).start()
+        if matcher == "cand":
+            cand_dma(s0_cand + d).start()
     in_dma(s0_in).wait()
-    cand_dma(s0_cand).wait()
+    if matcher == "cand":
+        cand_dma(s0_cand).wait()
+    else:
+        # zero the hash table: blocks are pure functions of their bytes
+        # (the upstream zeroes via tsqInit, tsq_threads.cpp:176)
+        def zrow(w, _):
+            scand[w >> 7, w & (LANES - 1)] = jnp.int32(0)
+            return 0
+
+        jax.lax.fori_loop(0, (HASH_MASK + 1) // 2, zrow, 0)
 
     # --- scalar ring accessors ---------------------------------------------
     _IN_WORDS = _IN_RING_BYTES // 4
@@ -240,6 +256,30 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
         p = jax.lax.while_loop(wcond, lambda p_: cand_at(p_), p)
         bad = jnp.logical_or(p < 0, anchor - p > 65534)
         return jnp.where(bad, jnp.int32(_NONE), p)
+
+    def probe(i):
+        """Exact upstream hash probe: 16-bit stored position promoted into
+        the 64 KiB window ending at i, then record i (tsq_encode.cpp:
+        222-229). Returns (current 4 bytes, candidate position)."""
+        cur = load32(i)
+        h = (cur ^ _lsr(cur, 12)) & HASH_MASK
+        word = h >> 1
+        half = h & 1
+        v = scand[word >> 7, word & (LANES - 1)]
+        p16 = jnp.where(half == 1, _lsr(v, 16), v) & 0xFFFF
+        i16 = i & 0xFFFF
+        hi = i & ~0xFFFF
+        pos = jnp.where(p16 >= i16, p16 + hi - 65536, p16 + hi)
+        nv = jnp.where(half == 1, (v & 0xFFFF) | (i16 << 16),
+                       (v & jnp.int32(-65536)) | i16)
+        scand[word >> 7, word & (LANES - 1)] = nv
+        return cur, pos
+
+    def probe_ok(i, cur, pos, anchor):
+        offset = anchor - pos
+        return jnp.logical_and(
+            cur == load32(pos),
+            jnp.logical_and(offset >= 4, offset <= 65534))
 
     # --- TokenSink state: packed in a dict-like tuple ----------------------
     # (j, ctrl_at, size_at, n_sym, anchor, ctrl_acc, size_acc, hwm,
@@ -368,7 +408,8 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
         (64 < 1024 entries / 4096 bytes), so one advance per call keeps
         the invariant."""
         due_in = ((i + 72) >> 12) > wi_in       # reads reach i + 71
-        due_cand = ((i + 2) >> 10) > wi_cand    # reads reach entry i
+        due_cand = ((i + 2) >> 10) > wi_cand if matcher == "cand" \
+            else jnp.bool_(False)               # no cand ring in table mode
 
         def adv(st):
             wi_in_, wi_cand_ = st
@@ -384,8 +425,9 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
                 return w + 1
 
             wi_in_ = jax.lax.cond(due_in, adv_in, lambda w: w, wi_in_)
-            wi_cand_ = jax.lax.cond(due_cand, adv_cand, lambda w: w,
-                                    wi_cand_)
+            if matcher == "cand":
+                wi_cand_ = jax.lax.cond(due_cand, adv_cand, lambda w: w,
+                                        wi_cand_)
             return wi_in_, wi_cand_
 
         return jax.lax.cond(jnp.logical_or(due_in, due_cand), adv,
@@ -423,14 +465,26 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
             sink_ = sst[3:13]
             i_ = i_ + 1
             wi_in_, wi_cand_ = rings_advance(i_, wi_in_, wi_cand_)
-            pos_ = jnp.where(i_ < end, usable(i_, sink_[4]),
-                             jnp.int32(_NONE))
+            if matcher == "cand":
+                pos_ = jnp.where(i_ < end, usable(i_, sink_[4]),
+                                 jnp.int32(_NONE))
+            else:
+                # exact upstream scan step: probe + update the table at
+                # EVERY position, validate against the PRE-flush anchor
+                # (the stale offset in the loop condition is upstream
+                # behavior; the match loop re-validates)
+                cur_, cpos_ = probe(i_)
+                ok_ = jnp.logical_and(i_ < end,
+                                      probe_ok(i_, cur_, cpos_, sink_[4]))
+                pos_ = jnp.where(ok_, cpos_, jnp.int32(_NONE))
 
             def flush32(fst):
                 sink_f, pos_f = fst
                 sink_f = do_literals(sink_f, i_ - 32, i_, 2)
-                pos_f = jnp.where(jnp.logical_and(i_ < end, pos_f != _NONE),
-                                  usable(i_, sink_f[4]), pos_f)
+                if matcher == "cand":
+                    pos_f = jnp.where(
+                        jnp.logical_and(i_ < end, pos_f != _NONE),
+                        usable(i_, sink_f[4]), pos_f)
                 return sink_f, pos_f
 
             sink_, pos_ = jax.lax.cond(
@@ -446,12 +500,14 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
         sink = sst[3:13]
         # trailing literals of the run (<= 32 bytes by the flush rule)
         sink = do_literals(sink, run_start, i, 2)
-        # the trailing flush can advance the anchor past the candidate's
-        # 16-bit reach; re-walk the chain under the new anchor (host
-        # parity: an unvalidated emit would wrap the offset mod 2^16 —
-        # the upstream re-checks too, tsq_encode.cpp:298)
-        pos = jnp.where(sink[4] - pos > 65534,
-                        usable(i, sink[4]), pos)
+        if matcher == "cand":
+            # the trailing flush can advance the anchor past the
+            # candidate's 16-bit reach; re-walk the chain under the new
+            # anchor (host parity: an unvalidated emit would wrap the
+            # offset mod 2^16 — the upstream re-checks too,
+            # tsq_encode.cpp:298)
+            pos = jnp.where(sink[4] - pos > 65534,
+                            usable(i, sink[4]), pos)
 
         def after_end(mst):
             return mst
@@ -476,9 +532,19 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
                     i_e = i_e + _code_width(code)
                     sink_e = put_match(sink_e, offset, code, i_e)
                     wi_i, wi_c = rings_advance(i_e, wi_i, wi_c)
-                    pos_n = jnp.where(i_e < end - 5,
-                                      usable(i_e, sink_e[4]),
-                                      jnp.int32(_NONE))
+                    if matcher == "cand":
+                        pos_n = jnp.where(i_e < end - 5,
+                                          usable(i_e, sink_e[4]),
+                                          jnp.int32(_NONE))
+                    else:
+                        # re-probe chaining, upstream tsq_encode.cpp:
+                        # 315-321 (the table updates at the new cursor
+                        # even when the loop is about to exit)
+                        cur_n, cpos_n = probe(i_e)
+                        ok_n = jnp.logical_and(
+                            i_e < end - 5,
+                            probe_ok(i_e, cur_n, cpos_n, sink_e[4]))
+                        pos_n = jnp.where(ok_n, cpos_n, jnp.int32(_NONE))
                     cont = (pos_n != _NONE).astype(jnp.int32)
                     return i_e, pos_n, cont, sink_e, wi_i, wi_c
 
@@ -486,8 +552,18 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
                     i_e, pos_e, sink_e, wi_i, wi_c = em
                     return i_e, pos_e, jnp.int32(0), sink_e, wi_i, wi_c
 
+                if matcher == "cand":
+                    can_emit = k >= 4
+                else:
+                    # the anchor may have advanced since the scan's probe
+                    # (literal flushes): re-validate the offset exactly
+                    # where the upstream does (tsq_encode.cpp:298)
+                    off_ = sink_[4] - pos_
+                    can_emit = jnp.logical_and(
+                        k >= 4, jnp.logical_and(off_ >= 4, off_ <= 65534))
                 i_, pos_, cont, sink_, wi_in_, wi_cand_ = jax.lax.cond(
-                    k >= 4, emit, stop, (i_, pos_, sink_, wi_in_, wi_cand_))
+                    can_emit, emit, stop,
+                    (i_, pos_, sink_, wi_in_, wi_cand_))
                 return (i_, pos_, cont) + sink_ + (wi_in_, wi_cand_)
 
             m = jax.lax.while_loop(
@@ -532,8 +608,9 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
     # the remaining out slots, over-copy slack included)
     in_dma(wi_in + 1).wait()
     in_dma(wi_in + 2).wait()
-    cand_dma(wi_cand + 1).wait()
-    cand_dma(wi_cand + 2).wait()
+    if matcher == "cand":
+        cand_dma(wi_cand + 1).wait()
+        cand_dma(wi_cand + 2).wait()
 
     @pl.when(ofs >= 2)
     def _():
@@ -555,21 +632,34 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
     jax.lax.while_loop(lambda st: st[0] <= last_slot, drain, (ofs, opar))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "ext"))
+@functools.partial(jax.jit, static_argnames=("interpret", "ext",
+                                              "matcher"))
 def emit_batch(input_words, cand_words, meta, *, ext=True,
-               interpret=False):
+               interpret=False, matcher="cand"):
     """Emit block payloads from input bytes + phase-A candidates, on chip.
 
     input_words: (B, IN_ROWS, 128) i32 zero-padded block bytes.
     cand_words:  (B, CAND_ROWS, 128) i32 candidate array (find_candidates
     output padded with -1), one entry per input byte.
-    meta: (B, 8) i32 with [size, 0...] per block.
+    meta: (B, 8) i32 with [size, base(dict len), 0...] per block.
     Returns (payload_words (B, OUT_ROWS, 128) i32, sizes (B, 8) i32 with
-    the payload byte length in column 0). Payloads are byte-identical to
-    native.encode_block_candidates(..., level=1) for the same candidates.
+    the payload byte length in column 0). matcher='cand' (default):
+    payloads are byte-identical to native.encode_block_candidates(...,
+    level=1) for the same candidates. matcher='table': cand_words may be
+    None — the kernel runs the upstream's exact 16-bit hash-table parse
+    (tsq_encode.cpp:216-326) and payloads are byte-identical to the
+    UPSTREAM BINARY's (and native level-0's) output.
     """
     B = input_words.shape[0]
-    kernel = functools.partial(_emit_kernel, ext=ext)
+    if matcher == "table":
+        # no phase-A candidates: the upstream 2^17 x u16 hash table lives
+        # in SMEM (two entries per word) and the probe runs in the scan
+        if cand_words is None:
+            cand_words = jnp.zeros((1, 8, LANES), jnp.int32)
+        scand_shape = ((HASH_MASK + 1) // 2 // LANES, LANES)
+    else:
+        scand_shape = (_CAND_SLOTS * _SLOT_ROWS, LANES)
+    kernel = functools.partial(_emit_kernel, ext=ext, matcher=matcher)
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -588,7 +678,7 @@ def emit_batch(input_words, cand_words, meta, *, ext=True,
         ],
         scratch_shapes=[
             pltpu.SMEM((_IN_SLOTS * _SLOT_ROWS, LANES), jnp.int32),
-            pltpu.SMEM((_CAND_SLOTS * _SLOT_ROWS, LANES), jnp.int32),
+            pltpu.SMEM(scand_shape, jnp.int32),
             pltpu.SMEM((_OUT_SLOTS * _SLOT_ROWS, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),

@@ -105,6 +105,32 @@ def _sharded_emit(mesh: Mesh, ext: bool):
 
 
 @functools.lru_cache(maxsize=8)
+def _sharded_emit0(mesh: Mesh, ext: bool):
+    """Level-0 device emission: the upstream's exact hash-table parse runs
+    ENTIRELY in the kernel (matcher='table') — no phase-A candidates at
+    all; output is byte-identical to the upstream binary."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+    interp = jax.default_backend() == "cpu"
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, spec),
+                       out_specs=(spec, spec), check_vma=False)
+    def run(batch_u8, meta):
+        B = batch_u8.shape[0]
+        x = batch_u8.reshape(B, -1, 4).astype(jnp.int32)
+        w = (x[..., 0] | (x[..., 1] << 8) | (x[..., 2] << 16)
+             | (x[..., 3] << 24))
+        rows = BLOCK_SZ // (128 * 4)
+        w = jnp.pad(w.reshape(B, rows, 128),
+                    ((0, 0), (0, EE.IN_ROWS - rows), (0, 0)))
+        return EE.emit_batch(w, None, meta, ext=ext, interpret=interp,
+                             matcher="table")
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
 def _sharded_emit_dict(mesh: Mesh, ext: bool):
     """Dictionary variant of the device emission: input is
     concat(replicated dict, block); meta carries the block's base."""
@@ -647,21 +673,22 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
 
         dev_batch = _device_put_rows((B, BLOCK_SZ), np.uint8, sharding,
                                      pack_blocks)
-        if dictionary is not None:
-            cands = _sharded_candidates_dict(mesh)(dict_dev, dev_batch)
-        else:
-            cands = _sharded_candidates(mesh)(dev_batch)
-
         if dev_emit:
             meta = np.zeros((B, 8), dtype=np.int32)
             for b, blk in enumerate(win):
                 meta[b, 0] = len(blk)
                 meta[b, 1] = dlen
             if dictionary is not None:
+                cands = _sharded_candidates_dict(mesh)(dict_dev, dev_batch)
                 words, osz = _sharded_emit_dict(mesh, ext)(
                     dict_dev, dev_batch, cands,
                     _device_put(meta, sharding))
+            elif level == 0:
+                # upstream-identical parse entirely on-chip: no phase A
+                words, osz = _sharded_emit0(mesh, ext)(
+                    dev_batch, _device_put(meta, sharding))
             else:
+                cands = _sharded_candidates(mesh)(dev_batch)
                 words, osz = _sharded_emit(mesh, ext)(
                     dev_batch, cands, _device_put(meta, sharding))
             osz_host = _to_host(osz)
@@ -680,6 +707,12 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
             if progress is not None:
                 progress(min(lo + window, len(blocks)), len(blocks))
             continue
+        # host emission (level >= 2 lazy parse, or no TPU backend): device
+        # candidates + native token emission
+        if dictionary is not None:
+            cands = _sharded_candidates_dict(mesh)(dict_dev, dev_batch)
+        else:
+            cands = _sharded_candidates(mesh)(dev_batch)
         cands_host = _to_host(cands)
 
         def emit(b_blk):
