@@ -120,3 +120,12 @@ def test_corrupt_stream_is_contained(native):
                                            out_rows=1032, streams=2))
     got_good = host[1].reshape(-1).view("<u1")[:size].tobytes()
     assert got_good == good
+
+
+def test_ring_through_pipeline(native):
+    """impl='ring' is reachable through the public decompress pipeline."""
+    from turbosqueeze_tpu.parallel import pipeline
+
+    data = synthetic_text(250_000, seed=207)
+    stream = native.compress(data, True)
+    assert pipeline.decompress(stream, impl="ring") == data
