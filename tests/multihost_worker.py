@@ -3,9 +3,9 @@
 Usage: python multihost_worker.py <coordinator> <nprocs> <pid> <stream> <out>
 
 Each process contributes 4 virtual CPU devices; the block batch shards over
-the global 8-device mesh across BOTH processes, and the ordered
-process_allgather (pipeline._to_host) plays the upstream writer-thread role
-over the process boundary — the real jax.distributed code path, not a
+the global 8-device mesh across BOTH processes, and the host-0-only ordered
+assembly (pipeline._to_host0) plays the upstream writer-thread role over
+the process boundary — the real jax.distributed code path, not a
 simulation.
 """
 
@@ -33,17 +33,24 @@ def main():
     assert len(jax.devices()) == 4 * int(nprocs), len(jax.devices())
 
     stream = open(stream_path, "rb").read()
-    # memory path: windowed allgather (the upstream writer-thread analog)
-    out = pipeline.decompress(stream, impl="xla")
-    if jax.process_index() == 0:
-        with open(out_path, "wb") as f:
-            f.write(out)
     # file path: PER-HOST ordered writes — each process writes its own
     # shards at their block offsets; no host gathers another's bytes
     pipeline.decompress_to_file(stream, out_path + ".perhost", impl="xla")
+    # memory path: shard-local host copies + HOST-0-ONLY assembly — each
+    # nonzero rank sends its shard once and must NOT hold the output
+    out = pipeline.decompress(stream, impl="xla")
+    if jax.process_index() == 0:
+        assert out == open(out_path + ".perhost", "rb").read()
+        with open(out_path, "wb") as f:
+            f.write(out)
+    else:
+        assert out == b"", "nonzero rank must not hold the decoded output"
     # compress across both processes: shard-local block packing
-    # (_device_put_rows), sharded candidate search, ordered gather
-    restream = pipeline.compress(out, ext=True, level=1)
+    # (_device_put_rows), sharded candidate search, ordered gather.
+    # (Every rank needs the plaintext input; rank 1's memory-path result
+    # is empty by contract, so both read the per-host file.)
+    data = open(out_path + ".perhost", "rb").read()
+    restream = pipeline.compress(data, ext=True, level=1)
     if jax.process_index() == 0:
         with open(out_path + ".tsq2", "wb") as f:
             f.write(restream)

@@ -220,13 +220,71 @@ def _to_host(x) -> np.ndarray:
     on other processes' devices, so this is the cross-DCN all-gather that
     replaces the upstream writer thread's global-order drain
     (tsq_threads.cpp:195-199) — every host receives the full batch in
-    block order and host 0 does the container IO.
+    block order. Use only for small metadata or when every host truly
+    needs the bytes; bulk results go through _to_host0 (memory path) or
+    per-host file writes (decompress_to_file).
     """
     if jax.process_count() == 1:
         return np.asarray(x)
     from jax.experimental import multihost_utils
 
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+_HOST0_SEQ = [0]  # SPMD-synchronized transfer counter (same call order
+                  # on every process keys matching sends/receives)
+
+
+def _to_host0(x):
+    """Ordered gather of a block-sharded array to HOST 0 ONLY.
+
+    Each process materializes just its own addressable shards (O(local
+    shard) host RAM and device->host traffic) and ships them to process 0
+    over the distributed coordination service; process 0 assembles the
+    global array in block order and is the only host that ever holds the
+    full result — the writer-thread role (tsq_threads.cpp:604-676) pinned
+    to one host. Nonzero processes return None. Cross-host traffic: every
+    nonzero host SENDS its shard once and receives nothing, vs the
+    allgather's O(total) received per host. (The runtime cannot reshard
+    onto a process-0-only device set — cross-host device_put requires
+    matching device sets — so the hop rides the coordination service; for
+    bulk production output prefer decompress_to_file, which writes
+    per-host with no cross-host bytes at all.)
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    seq = _HOST0_SEQ[0]
+    _HOST0_SEQ[0] += 1
+    local = {}
+    for shard in x.addressable_shards:
+        if shard.replica_id:
+            continue
+        lo = shard.index[0].start or 0
+        local[lo] = np.ascontiguousarray(np.asarray(shard.data))
+    if jax.process_index() != 0:
+        for lo, arr in local.items():
+            client.key_value_set_bytes(f"tsq/g0/{seq}/{lo}", arr.tobytes())
+        return None
+    out = np.zeros(x.shape, x.dtype)
+    have = set()
+    for lo, arr in local.items():
+        out[lo:lo + arr.shape[0]] = arr
+        have.add(lo)
+    for idx in x.sharding.devices_indices_map(x.shape).values():
+        lo = idx[0].start or 0
+        hi = x.shape[0] if idx[0].stop is None else idx[0].stop
+        if lo in have:
+            continue
+        key = f"tsq/g0/{seq}/{lo}"
+        raw = client.blocking_key_value_get_bytes(key, 300_000)
+        out[lo:hi] = np.frombuffer(
+            raw, dtype=out.dtype).reshape((hi - lo,) + x.shape[1:])
+        client.key_value_delete(key)
+        have.add(lo)
+    return out
 
 
 # --- decompress ----------------------------------------------------------------
@@ -390,11 +448,13 @@ def _decode_window_stream(stream, table_window, mesh: Mesh,
     dict_words = (DST.pack_dict_words(dictionary) if dictionary
                   else np.zeros((8, DK.LANES), np.int32))
     sharding = mesh_mod.block_sharding(mesh)
-    host = _to_host(_sharded_decode_stream(mesh, out_rows, kernel)(
+    host = _to_host0(_sharded_decode_stream(mesh, out_rows, kernel)(
         _device_put_rows((B, DK.PAY_ROWS, DK.LANES), np.int32, sharding,
                          pack_rows),
         _device_put(meta, sharding),
         _device_put(dict_words, mesh_mod.replicated(mesh))))
+    if host is None:  # nonzero process: host 0 holds the output
+        return [b""] * n
     return [host[b].reshape(-1).view("<u1")[dlen:dlen + sizes[b]].tobytes()
             for b in range(n)]
 
@@ -416,7 +476,9 @@ def _decode_window_xla(parsed, mesh: Mesh, base: int = 0) -> List[bytes]:
                                  pay_n=pay_n)
     sharding = mesh_mod.block_sharding(mesh)
     args = [_device_put(x, sharding) for x in (d, s, l, q, pay)]
-    out = _to_host(_sharded_decode_xla(mesh, n_out)(*args))
+    out = _to_host0(_sharded_decode_xla(mesh, n_out)(*args))
+    if out is None:  # nonzero process: host 0 holds the output
+        return [b""] * n
     return [out[b, base:base + p[5]].tobytes()
             for b, p in enumerate(parsed)]
 
@@ -442,7 +504,9 @@ def _decode_window_pallas(parsed, mesh: Mesh, interpret: bool,
     sharding = mesh_mod.block_sharding(mesh)
     args = [_device_put(x, sharding)
             for x in (payload_words, tok_a, tok_b)]
-    host = _to_host(_sharded_decode(mesh, interpret, out_rows)(*args))
+    host = _to_host0(_sharded_decode(mesh, interpret, out_rows)(*args))
+    if host is None:  # nonzero process: host 0 holds the output
+        return [b""] * n
     return [host[b].reshape(-1).view("<u1")[base:base + p[5]].tobytes()
             for b, p in enumerate(parsed)]
 
@@ -469,6 +533,11 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     rings (tsq_context.cpp:101-102). With ``dictionary`` the preset context
     is staged on-device by synthetic literal tokens (block.py
     tokenize_with_dict) — the device twin of the guard-region dict decode.
+
+    Multi-process contract: decoded bytes are assembled on HOST 0 ONLY
+    (shard-local host copies + host-0 assembly, _to_host0); nonzero ranks
+    return b"". For bulk output across hosts use decompress_to_file, whose
+    per-host writes move zero decoded bytes across hosts.
     """
     from ..format import FormatError
 
@@ -500,7 +569,9 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
         if progress is not None:
             progress(len(parts), len(table))
     out = b"".join(parts)
-    if len(out) != hdr.total_size:
+    # multi-process: the decoded bytes are assembled on host 0 only
+    # (_to_host0) — nonzero ranks return b"" by contract
+    if jax.process_index() == 0 and len(out) != hdr.total_size:
         raise FormatError(
             f"decoded {len(out)} bytes, container declares {hdr.total_size}")
     return out
