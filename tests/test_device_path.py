@@ -49,6 +49,26 @@ def test_sharded_decompress_multiblock():
     assert out == data
 
 
+def test_pipeline_per_block_progress():
+    """Progress fires once per completed BLOCK, not per device window —
+    the upstream writer thread's cadence (tsq_threads.cpp:248-254)."""
+    from turbosqueeze_tpu.runtime import native
+
+    data = synthetic_text(2 * (1 << 22) + 999, seed=57)  # 3 blocks
+    stream = native.compress(data, True)
+    ticks = []
+    out = pipeline.decompress(stream, impl="xla",
+                              progress=lambda d, t: ticks.append((d, t)))
+    assert out == data
+    assert ticks == [(k + 1, 3) for k in range(3)]
+
+    ticks = []
+    stream2 = pipeline.compress(
+        data, ext=True, progress=lambda d, t: ticks.append((d, t)))
+    assert native.decompress(stream2) == data
+    assert ticks == [(k + 1, 3) for k in range(3)]
+
+
 def test_sharded_decompress_reference_stream(golden_harness, tmp_path):
     """Device pipeline must decode upstream-encoder-produced containers."""
     data = synthetic_binary(3 * (1 << 22), seed=23)

@@ -557,17 +557,22 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
         if not win:
             continue
         if impl in ("stream", "ring"):
-            parts.extend(_decode_window_stream(stream, win, mesh,
-                                               dictionary, kernel=impl))
+            blocks_out = _decode_window_stream(stream, win, mesh,
+                                               dictionary, kernel=impl)
         else:
             parsed, _ = _tokenize_all(stream, win, dictionary)
             if impl == "xla":
-                parts.extend(_decode_window_xla(parsed, mesh, base))
+                blocks_out = _decode_window_xla(parsed, mesh, base)
             else:
-                parts.extend(_decode_window_pallas(parsed, mesh, interpret,
-                                                   base))
-        if progress is not None:
-            progress(len(parts), len(table))
+                blocks_out = _decode_window_pallas(parsed, mesh, interpret,
+                                                   base)
+        # per-block progress while draining the window, matching the
+        # upstream writer thread's per-block cadence
+        # (tsq_threads.cpp:248-254)
+        for part in blocks_out:
+            parts.append(part)
+            if progress is not None:
+                progress(len(parts), len(table))
     out = b"".join(parts)
     # multi-process: the decoded bytes are assembled on host 0 only
     # (_to_host0) — nonzero ranks return b"" by contract
@@ -775,8 +780,8 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
                 payload = EE.payload_from_words(words_host[b], psz)
                 parts.append(pack_block_header(psz, ext))
                 parts.append(payload)
-            if progress is not None:
-                progress(min(lo + window, len(blocks)), len(blocks))
+                if progress is not None:  # per-block writer cadence
+                    progress(lo + b + 1, len(blocks))
             continue
         # host emission (level >= 2 lazy parse, or no TPU backend): device
         # candidates + native token emission
@@ -801,9 +806,9 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
 
         with ThreadPoolExecutor() as pool:
             payloads = list(pool.map(emit, enumerate(win)))
-        for payload in payloads:
+        for b, payload in enumerate(payloads):
             parts.append(pack_block_header(len(payload), ext))
             parts.append(payload)
-        if progress is not None:
-            progress(min(lo + window, len(blocks)), len(blocks))
+            if progress is not None:  # per-block writer cadence
+                progress(lo + b + 1, len(blocks))
     return b"".join(parts)
