@@ -1,0 +1,81 @@
+"""Mosaic-compiled kernel smoke tests (gated on TSQ_TEST_TPU=1).
+
+The regular suite runs every Pallas kernel in interpret mode on the
+virtual CPU mesh; interpret mode does not model Mosaic's ref aliasing or
+scheduling. These tests compile the fused decode kernel and the on-chip
+emission kernel through Mosaic on one small block and assert
+byte-exactness, so compiled-kernel correctness doesn't rest on bench.py's
+assert alone. They skip cleanly when no TPU is reachable (CI CPU runners)
+and run on any dev box with TSQ_TEST_TPU=1.
+"""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("TSQ_TEST_TPU"),
+    reason="set TSQ_TEST_TPU=1 (with a reachable TPU) to run Mosaic "
+           "compile smoke tests")
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip(f"no TPU backend (have {jax.default_backend()})")
+    # persistent Mosaic cache: cold compiles cost minutes, warm ~seconds
+    cache = Path(__file__).resolve().parent.parent / ".benchdata/jaxcache"
+    cache.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    return jax
+
+
+def _rows_for(nbytes: int) -> int:
+    from turbosqueeze_tpu.kernels import decode_tokens as K
+
+    rows = -(-(nbytes + 1) // K.ROW_BYTES) + 16
+    return max(-(-rows // 8) * 8, 8)
+
+
+def test_fused_decode_compiled(tpu):
+    from turbosqueeze_tpu import reference_codec as rc
+    from turbosqueeze_tpu.kernels import decode_stream as DS
+    from turbosqueeze_tpu.kernels import decode_tokens as K
+    from turbosqueeze_tpu.utils.corpus import synthetic_text
+
+    data = synthetic_text(48 * 1024, seed=5)
+    payload = rc.encode_block(data, True)
+    pay_rows = _rows_for(len(payload))
+    out_rows = _rows_for(len(data))
+    words = K.pack_payload_words(payload, pay_rows=pay_rows)
+    meta = DS.pack_meta([True], [len(data)])
+    out = DS.decode_stream_batch(words[None], meta, out_rows=out_rows)
+    got = np.asarray(out)[0].reshape(-1).view("<u1")[:len(data)].tobytes()
+    assert got == data
+
+
+def test_emit_table_compiled(tpu):
+    """Level-0 on-chip parse (matcher='table') compiled via Mosaic must be
+    byte-identical to the native level-0 block payload (the upstream
+    parse, tsq_encode.cpp:216-326)."""
+    from turbosqueeze_tpu.kernels import encode_emit as EE
+    from turbosqueeze_tpu.runtime import native
+    from turbosqueeze_tpu.utils.corpus import synthetic_text
+
+    if not native.available():
+        pytest.skip("native core not built")
+    data = synthetic_text(64 * 1024, seed=9)
+    meta = np.zeros((1, 8), dtype=np.int32)
+    meta[0, 0] = len(data)
+    words, osz = EE.emit_batch(EE.pack_input_words(data)[None], None, meta,
+                               ext=True, matcher="table")
+    psz = int(np.asarray(osz)[0, 0])
+    payload = EE.payload_from_words(np.asarray(words)[0], psz)
+    # single-block container: 16-byte TSQ1 header + 3-byte block header
+    want = native.compress(data, True, level=0)[19:]
+    assert payload == want
