@@ -188,4 +188,32 @@ int64_t tokenize_block(const uint8_t* in, size_t in_size, bool ext,
                        Token* tokens, size_t max_tokens,
                        uint32_t* uncompressed_size, uint32_t base = 0);
 
+// --- Bulk-decode preparation (tsq_bulk.cpp) ---------------------------------
+//
+// Resolves every token of a block payload into already-final address space
+// (literal plane / previous-window output tail) and emits the row-grouped
+// record stream for the wave-free bulk reconstruction kernel
+// (kernels/decode_bulk.py). Geometry shared with the kernel:
+constexpr uint32_t kBulkWin = 1u << 21;        // output window bytes
+constexpr uint32_t kBulkTailRows = 130;        // >= (65534 + 64) / 512
+constexpr uint32_t kBulkTail = kBulkTailRows * 512;
+constexpr uint32_t kBulkMaxWin = kBlockSize / kBulkWin;
+constexpr uint32_t kBulkMetaWords = 8;
+// a match source resolving to more than this many final pieces is NOT
+// split (splitting cascades fragmentation); it defers to a W-space record
+constexpr int kBulkResolveK = 1;
+// sanity cap on topological depth (depth is stream order, not kernel
+// passes, so this is generous; beyond it the caller falls back)
+constexpr uint32_t kBulkMaxLevel = 1u << 20;
+constexpr int64_t kBulkFallback = -100;  // stream too fragmented
+constexpr int64_t kBulkOverflow = -101;  // rec buffer too small: retry
+
+// meta[0]=size, [1]=n_windows, [2]=literal bytes, [3]=record words,
+// [4+w]=record word offset where window w starts (w <= kBulkMaxWin).
+// Returns record words written, kBulkFallback/kBulkOverflow, or a
+// negative Status for malformed payloads.
+int64_t bulk_prep(const uint8_t* in, size_t in_size, bool ext,
+                  uint8_t* lit, uint64_t lit_cap,
+                  uint32_t* rec, uint64_t rec_cap_words, uint32_t* meta);
+
 }  // namespace tsq

@@ -89,6 +89,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
     ]
+    lib.tsq_bulk_prep.restype = ctypes.c_int64
+    lib.tsq_bulk_prep.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+    ]
     lib.tsq_build_candidates.restype = None
     lib.tsq_build_candidates.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_void_p]
@@ -273,6 +279,46 @@ def tokenize_block(payload: bytes, ext: bool, dict_len: int = 0):
     return (dst[:n].astype(np.int32), src[:n].astype(np.int32),
             ln[:n].astype(np.int32), lit[:n].astype(np.int32),
             int(size.value))
+
+
+BULK_FALLBACK = -100  # stream too fragmented for the bulk formulation
+
+
+def bulk_prep(payload: bytes, ext: bool):
+    """Resolve one block payload into the bulk-decode planes
+    (csrc/tsq_bulk.cpp): compacted literal bytes, row-grouped record
+    stream, and the meta words (size, n_windows, lit bytes, record words,
+    per-window record offsets). Returns (lit u8[], rec u32[], meta u32[]).
+    Raises FormatError on malformed payloads; returns None when the
+    stream is too fragmented for the bulk formulation (caller should
+    decode that block through the fused-parser path instead)."""
+    import numpy as np
+
+    from ..format import FormatError
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    padded = payload + bytes(64)
+    size = (payload[0] | (payload[1] << 8) | (payload[2] << 16)
+            if len(payload) >= 3 else 0)
+    lit = np.empty(size + 64, dtype=np.uint8)
+    meta = np.zeros(8, dtype=np.uint32)
+    rec_cap = (1 << 19)  # 2 MiB; grown on overflow
+    while True:
+        rec = np.empty(rec_cap, dtype=np.uint32)
+        n = lib.tsq_bulk_prep(padded, len(payload), 1 if ext else 0,
+                              lit.ctypes.data, lit.shape[0],
+                              rec.ctypes.data, rec_cap, meta.ctypes.data)
+        if n == -101 and rec_cap < (1 << 24):  # overflow: retry bigger
+            rec_cap *= 4
+            continue
+        break
+    if n == BULK_FALLBACK or n == -101:
+        return None
+    if n < 0:
+        raise FormatError(f"bulk prep failed (code {n})")
+    return lit[:int(meta[2])], rec[:int(n)], meta
 
 
 # Per-block progress callback plumbing (the upstream writer thread's
