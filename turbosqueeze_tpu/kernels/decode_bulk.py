@@ -1,0 +1,276 @@
+"""Bulk reconstruction kernel: wave-free record-stream decode.
+
+Round-3 replacement for the per-pair fused decoder's reconstruction
+phase. The host resolver (csrc/tsq_bulk.cpp, native.bulk_prep) turns a
+block payload into:
+
+  * a compacted LITERAL plane (non-constant literal bytes, in order),
+  * a row-grouped RECORD stream: ordered entries, one 512-byte output
+    row each (rows may repeat), holding copy/fill records that cover
+    every output byte exactly once.
+
+This kernel executes the stream. Per entry: load the output row into a
+register accumulator, apply the records, store the row once. Records
+read only from (a) the U plane — literal bytes plus a 130-row tail of
+previous 2 MiB windows' output — which the record loop never writes, or
+(b) W rows finalized by earlier entries (stream order is the topological
+order; the resolver guarantees an entry never reads bytes its own
+accumulator holds). Compare the fused kernel (decode_stream.py): no
+bitstream parse on the scalar unit (21.7 cyc/token measured floor — the
+parse lives on the host at GB/s/core), no read-modify-writes, and no
+same-ref store->read chains on the hot path, which is what Mosaic's
+index-blind aliasing serializes (BASELINE.md round-2 roofline).
+
+Geometry is shared with the resolver: 2 MiB windows (4096 rows),
+130-row tail reach (65534-byte offsets + a 64-byte pre-window anchor,
+/root/reference/tsq_encode.cpp:293-298), record stream encodings
+documented in csrc/tsq_bulk.cpp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .decode_tokens import LANES, OUT_ROWS, ROW_BYTES
+
+WIN_BYTES = 1 << 21
+WIN_ROWS = WIN_BYTES // ROW_BYTES           # 4096
+TAIL_ROWS = 130                             # >= (65534 + 64) / 512
+MAX_WIN = 2                                 # 4 MiB block / 2 MiB window
+
+_REC_SLOT_WORDS = 1024                      # ring slot = (8,128) i32
+_REC_SLOTS = 4
+# an entry consumes <= 2 + 2*120 words (csrc kBulkMaxEntryRecs); the ring
+# must have this much lookahead beyond the cursor before parsing an entry
+_ENTRY_SLACK = 256
+
+
+def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
+                        ring_ref, sem_lit, sem_out, sem_ring, *,
+                        lit_rows, rec_rows, out_rows):
+    b = pl.program_id(0)
+    size = meta_ref[b, 0]
+    n_win = meta_ref[b, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    base4 = lane * 4
+
+    dlit = pltpu.make_async_copy(lit_hbm.at[b], u_ref.at[pl.ds(0, lit_rows)],
+                                 sem_lit)
+    dlit.start()
+
+    def ring_copy(s):
+        row0 = jnp.minimum(s * 8, rec_rows - 8)
+        return pltpu.make_async_copy(rec_hbm.at[b, pl.ds(row0, 8)],
+                                     ring_ref.at[s & 3], sem_ring.at[s & 3])
+
+    ring_copy(0).start()
+    ring_copy(1).start()
+    ring_copy(2).start()
+    ring_copy(0).wait()
+    dlit.wait()
+
+    def word(p):
+        return ring_ref[(p >> 10) & 3, (p >> 7) & 7, p & (LANES - 1)]
+
+    def apply_record(src_ref, w0, w1, acc):
+        """One record against the row accumulator. src_ref = U or W."""
+        off = w0 >> 10
+        ln = w0 & 1023
+        is_fill = jax.lax.shift_right_logical(w1, 31)
+        is_tail = (w1 >> 30) & 1
+        ubyte = (w1 & 0x1FFFFFFF) + is_tail * (lit_rows * ROW_BYTES)
+        srow = ubyte >> 9
+        sb = ubyte & 511
+        e = sb - off
+        eq = e >> 2                      # arithmetic: floor for negatives
+        om = (e & 3) * 8
+        win = src_ref[pl.ds(srow, 2), :]
+        q = lane + eq
+        qm = q & (LANES - 1)
+        g0 = jnp.where((q & 255) < LANES,
+                       jnp.take_along_axis(win[0:1], qm, axis=1),
+                       jnp.take_along_axis(win[1:2], qm, axis=1))
+        q1 = q + 1
+        q1m = q1 & (LANES - 1)
+        g1 = jnp.where((q1 & 255) < LANES,
+                       jnp.take_along_axis(win[0:1], q1m, axis=1),
+                       jnp.take_along_axis(win[1:2], q1m, axis=1))
+        val = jnp.where(
+            om == 0, g0,
+            jax.lax.shift_right_logical(g0, om)
+            | jax.lax.shift_left(g1, 32 - jnp.maximum(om, 8)))
+        fillw = (w1 & 0xFF) * 0x01010101
+        val = jnp.where(is_fill == 1, fillw, val)
+        m = jnp.zeros((1, LANES), jnp.int32)
+        for kk in range(4):
+            pos = base4 + kk
+            inside = jnp.logical_and(pos >= off, pos < off + ln)
+            m = m | jnp.where(inside, jnp.int32(0xFF) << (8 * kk), 0)
+        return (val & m) | (acc & ~m)
+
+    def entry(carry):
+        p, waited = carry
+        # ring invariant: slots [0, waited] complete, (waited, waited+2]
+        # in flight; one entry consumes <= _ENTRY_SLACK words
+        hi = (p + _ENTRY_SLACK) >> 10
+
+        def advance(st):
+            p_, w_ = st
+            ring_copy(w_ + 1).wait()
+            ring_copy(w_ + 3).start()
+            return p_, w_ + 1
+
+        p, waited = jax.lax.cond(hi > waited, advance, lambda st: st,
+                                 (p, waited))
+        row = word(p)
+        h1 = word(p + 1)
+        n_u = h1 >> 16
+        n_w = h1 & 0xFFFF
+        p += 2
+        acc = w_ref[pl.ds(row, 1), :]
+
+        def u_rec(_, c):
+            p_, a = c
+            a = apply_record(u_ref, word(p_), word(p_ + 1), a)
+            return p_ + 2, a
+
+        def w_rec(_, c):
+            p_, a = c
+            a = apply_record(w_ref, word(p_), word(p_ + 1), a)
+            return p_ + 2, a
+
+        p, acc = jax.lax.fori_loop(0, n_u, u_rec, (p, acc))
+        p, acc = jax.lax.fori_loop(0, n_w, w_rec, (p, acc))
+        w_ref[pl.ds(row, 1), :] = acc
+        return p, waited
+
+    waited = jnp.int32(0)
+    p = jnp.int32(0)
+    for w in range(MAX_WIN):
+        if w > 0:
+            @pl.when(w + 1 <= n_win)
+            def _():
+                # stage the tail: last TAIL_ROWS rows of the previous
+                # window become U's tail region
+                for k in range(TAIL_ROWS // 8 + 1):
+                    src0 = min(WIN_ROWS - TAIL_ROWS + 8 * k, WIN_ROWS - 8)
+                    dst0 = min(lit_rows + 8 * k, lit_rows + TAIL_ROWS - 8)
+                    u_ref[pl.ds(dst0, 8), :] = w_ref[pl.ds(src0, 8), :]
+
+        p_end = meta_ref[b, 5 + w]
+        p, waited = jax.lax.while_loop(lambda c: c[0] < p_end, entry,
+                                       (p, waited))
+        @pl.when(w + 1 <= n_win)
+        def _(w=w):
+            dout = pltpu.make_async_copy(
+                w_ref.at[pl.ds(0, WIN_ROWS)],
+                out_hbm.at[b, pl.ds(w * WIN_ROWS, WIN_ROWS)], sem_out)
+            dout.start()
+            dout.wait()
+
+    # drain the in-flight ring prefetches before the grid step ends
+    ring_copy(waited + 1).wait()
+    ring_copy(waited + 2).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_rows"))
+def decode_bulk_batch(lit_words, rec_words, meta, *, interpret=False,
+                      out_rows: int = OUT_ROWS):
+    """Reconstruct a batch of blocks from resolver planes.
+
+    lit_words: (B, lit_rows, 128) i32 zero-padded literal planes.
+    rec_words: (B, rec_rows, 128) i32 record streams (rows multiple of 8).
+    meta:      (B, 8) i32 — bulk_prep meta words per block.
+    Returns (B, out_rows, 128) i32 decoded words (block bytes at [0,size)).
+    """
+    B, lit_rows, _ = lit_words.shape
+    rec_rows = rec_words.shape[1]
+    if lit_rows % 8 or rec_rows % 8:
+        raise ValueError("plane rows must be multiples of 8")
+    kernel = functools.partial(_decode_bulk_kernel, lit_rows=lit_rows,
+                               rec_rows=rec_rows, out_rows=out_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((lit_rows + TAIL_ROWS + 2, LANES), jnp.int32),
+            pltpu.VMEM((WIN_ROWS + 2, LANES), jnp.int32),
+            pltpu.SMEM((_REC_SLOTS, 8, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((_REC_SLOTS,)),
+        ],
+        interpret=interpret,
+    )(meta, lit_words, rec_words)
+
+
+# --- host-side glue ----------------------------------------------------------
+
+def rows_for_bytes(nbytes: int) -> int:
+    rows = -(-max(nbytes, 1) // ROW_BYTES) + 2
+    return max(8, -(-rows // 8) * 8)
+
+
+def pack_lit_words(lit: np.ndarray, lit_rows: int) -> np.ndarray:
+    buf = np.zeros(lit_rows * ROW_BYTES, dtype=np.uint8)
+    buf[:len(lit)] = lit
+    return buf.view("<i4").reshape(lit_rows, LANES)
+
+
+def pack_rec_words(rec: np.ndarray, rec_rows: int) -> np.ndarray:
+    buf = np.zeros(rec_rows * LANES, dtype=np.uint32)
+    buf[:len(rec)] = rec
+    return buf.view(np.int32).reshape(rec_rows, LANES)
+
+
+def prep_batch(payloads_ext):
+    """bulk_prep a list of (payload, ext); returns packed batch planes or
+    None if any block needs the fused-parser fallback.
+
+    (lit_words (B, LR, 128), rec_words (B, RR, 128), meta (B, 8), sizes)
+    """
+    from ..runtime import native
+
+    preps, sizes = [], []
+    for payload, ext in payloads_ext:
+        r = native.bulk_prep(payload, ext)
+        if r is None:
+            return None
+        lit, rec, meta = r
+        preps.append((lit, rec, meta))
+        sizes.append(int(meta[0]))
+    lit_rows = max(rows_for_bytes(len(p[0])) for p in preps)
+    rec_rows = max(rows_for_bytes(4 * len(p[1])) for p in preps)
+    B = len(preps)
+    lit_words = np.zeros((B, lit_rows, LANES), np.int32)
+    rec_words = np.zeros((B, rec_rows, LANES), np.int32)
+    meta = np.zeros((B, 8), np.int32)
+    for k, (lit, rec, m) in enumerate(preps):
+        lit_words[k] = pack_lit_words(lit, lit_rows)
+        rec_words[k] = pack_rec_words(rec, rec_rows)
+        meta[k] = m.astype(np.int64).astype(np.int32)  # u32 -> i32 bits
+    return lit_words, rec_words, meta, sizes
+
+
+def decode_bulk_block(payload: bytes, ext: bool, interpret: bool = True):
+    """Single-block helper for tests: payload -> decoded bytes or None
+    (fallback needed)."""
+    planes = prep_batch([(payload, ext)])
+    if planes is None:
+        return None
+    lit_words, rec_words, meta, sizes = planes
+    out = decode_bulk_batch(lit_words, rec_words, meta, interpret=interpret)
+    return np.asarray(out)[0].reshape(-1).view("<u1")[:sizes[0]].tobytes()
