@@ -36,6 +36,7 @@ from ..format import (
     scan_block_table,
     split_blocks,
 )
+from ..kernels import decode_bulk as DBK
 from ..kernels import decode_stream as DST
 from ..kernels import decode_tokens as DK
 from ..kernels import decode_xla as DXL
@@ -459,6 +460,82 @@ def _decode_window_stream(stream, table_window, mesh: Mesh,
             for b in range(n)]
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_decode_bulk(mesh: Mesh, lit_rows: int, rec_rows: int):
+    """jit(shard_map(bulk record-stream kernel)) over the block axis."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec), out_specs=spec,
+                       check_vma=False)
+    def run(lit_words, rec_words, meta):
+        interp = jax.default_backend() == "cpu"
+        return DBK.decode_bulk_batch(lit_words, rec_words, meta,
+                                     interpret=interp)
+
+    return run
+
+
+def _decode_window_bulk(stream, table_window, mesh: Mesh) -> List[bytes]:
+    """Decode one window of blocks via the bulk path: host C++ resolver
+    (native.bulk_prep, GB/s-class token work) feeding the wave-free
+    record-stream kernel. Blocks the resolver rejects (pathologically
+    fragmented streams) fall back to the fused on-chip parser."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..runtime import native
+
+    if not native.available():  # resolver lives in the native core
+        return _decode_window_stream(stream, table_window, mesh, None)
+    n = len(table_window)
+    n_dev = mesh.devices.size
+    B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+
+    def prep(entry):
+        off, psz, ext = entry
+        return native.bulk_prep(stream[off:off + psz], ext)
+
+    with ThreadPoolExecutor() as pool:  # C releases the GIL
+        preps = list(pool.map(prep, table_window))
+    if any(r is None for r in preps):
+        return _decode_window_stream(stream, table_window, mesh, None)
+
+    # bucket plane rows across the batch (recompile-bounded)
+    lit_rows = _round_up(max(
+        DBK.rows_for_bytes(len(r[0])) for r in preps), 64)
+    rec_rows = _round_up(max(
+        DBK.rows_for_bytes(4 * len(r[1])) for r in preps), 512)
+    sizes = [int(r[2][0]) for r in preps]
+    meta = np.zeros((B, 8), dtype=np.int32)
+    for b, r in enumerate(preps):
+        meta[b] = r[2].astype(np.int64).astype(np.int32)
+
+    def pack_lit(lo, hi):
+        out = np.zeros((hi - lo, lit_rows, DK.LANES), np.int32)
+        for b in range(lo, min(hi, n)):
+            out[b - lo] = DBK.pack_lit_words(preps[b][0], lit_rows)
+        return out
+
+    def pack_rec(lo, hi):
+        out = np.zeros((hi - lo, rec_rows, DK.LANES), np.int32)
+        for b in range(lo, min(hi, n)):
+            out[b - lo] = DBK.pack_rec_words(preps[b][1], rec_rows)
+        return out
+
+    sharding = mesh_mod.block_sharding(mesh)
+    host = _to_host0(_sharded_decode_bulk(mesh, lit_rows, rec_rows)(
+        _device_put_rows((B, lit_rows, DK.LANES), np.int32, sharding,
+                         pack_lit),
+        _device_put_rows((B, rec_rows, DK.LANES), np.int32, sharding,
+                         pack_rec),
+        _device_put(meta, sharding)))
+    if host is None:  # nonzero process: host 0 holds the output
+        return [b""] * n
+    return [host[b].reshape(-1).view("<u1")[:sizes[b]].tobytes()
+            for b in range(n)]
+
+
 _DICT_PAD = 1 << 16  # dict-extended output/payload headroom (bucketed)
 
 
@@ -518,8 +595,10 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
                progress=None) -> bytes:
     """Full device decode -> ordered host assembly (the writer-thread role).
 
-    impl: 'stream' = the fused on-chip parser (TPU production path: the
-    raw payload is the only device input — phase A AND B on chip);
+    impl: 'bulk' = host C++ resolver + wave-free record-stream kernel
+    (kernels/decode_bulk.py — no on-chip parse, no RMW chains);
+    'stream' = the fused on-chip parser (raw payload is the only device
+    input — phase A AND B on chip);
     'ring' = the K-stream sliding-window variant of the fused parser
     (kernels/decode_ring.py: bounded VMEM, blocks decoded in lockstep);
     'pallas' = the token-chunk kernel (host tokenize + on-chip byte
@@ -556,9 +635,14 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
         win = table[lo:lo + window_blocks]
         if not win:
             continue
-        if impl in ("stream", "ring"):
+        if impl == "bulk" and dictionary is None:
+            blocks_out = _decode_window_bulk(stream, win, mesh)
+        elif impl in ("stream", "ring", "bulk"):
+            # bulk with a dictionary rides the fused parser (the preset
+            # context is staged on-device there)
+            kernel = "stream" if impl == "bulk" else impl
             blocks_out = _decode_window_stream(stream, win, mesh,
-                                               dictionary, kernel=impl)
+                                               dictionary, kernel=kernel)
         else:
             parsed, _ = _tokenize_all(stream, win, dictionary)
             if impl == "xla":
