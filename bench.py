@@ -109,9 +109,13 @@ def build_reference(tmp: Path):
         return None
 
 
-def bench_tpu_kernel(data: bytes, native) -> float:
-    """On-chip FUSED decode (raw payload -> bytes, kernels/decode_stream.py)
-    MB/s/chip, measured by the batch-slope method.
+def bench_tpu_kernel(data: bytes, native, kernel: str = "stream") -> float:
+    """On-chip decode throughput (MB/s/chip) by the batch-slope method.
+
+    kernel 'stream': the fused parser (raw payload -> bytes,
+    kernels/decode_stream.py); 'bulk': the wave-free record-stream kernel
+    (host resolver + kernels/decode_bulk.py). Every block of every timed
+    batch shape is verified bit-exact before timing.
 
     Per-call timings through a tunneled runtime carry a large fixed
     dispatch/sync overhead (and async timings without a real result fetch
@@ -123,6 +127,7 @@ def bench_tpu_kernel(data: bytes, native) -> float:
     import jax.numpy as jnp
 
     from turbosqueeze_tpu.format import iter_container
+    from turbosqueeze_tpu.kernels import decode_bulk as DB
     from turbosqueeze_tpu.kernels import decode_stream as DS
     from turbosqueeze_tpu.kernels import decode_tokens as K
 
@@ -131,35 +136,55 @@ def bench_tpu_kernel(data: bytes, native) -> float:
     n_src = len(blocks)
     sizes = [min(len(data) - (k << 22), 1 << 22) for k in range(n_src)]
 
+    if kernel == "bulk":
+        planes = DB.prep_batch(blocks)
+        assert planes is not None, "bulk prep fell back on bench corpus"
+        lit_words, rec_words, meta, _ = planes
+
     def make_args(B):
-        pw = np.zeros((B, K.PAY_ROWS, K.LANES), np.int32)
-        exts, szs = [], []
-        for b in range(B):
-            payload, ext = blocks[b % n_src]
-            pw[b] = K.pack_payload_words(payload)
-            exts.append(ext)
-            szs.append(sizes[b % n_src])
-        return ([jax.device_put(pw),
-                 jax.device_put(DS.pack_meta(exts, szs))], sum(szs))
+        if kernel == "bulk":
+            lw = np.zeros((B,) + lit_words.shape[1:], np.int32)
+            rw = np.zeros((B,) + rec_words.shape[1:], np.int32)
+            mt = np.zeros((B, 8), np.int32)
+            for b in range(B):
+                lw[b] = lit_words[b % n_src]
+                rw[b] = rec_words[b % n_src]
+                mt[b] = meta[b % n_src]
+            args = [jax.device_put(x) for x in (lw, rw, mt)]
+        else:
+            pw = np.zeros((B, K.PAY_ROWS, K.LANES), np.int32)
+            exts, szs = [], []
+            for b in range(B):
+                payload, ext = blocks[b % n_src]
+                pw[b] = K.pack_payload_words(payload)
+                exts.append(ext)
+                szs.append(sizes[b % n_src])
+            args = [jax.device_put(pw),
+                    jax.device_put(DS.pack_meta(exts, szs))]
+        return args, sum(sizes[b % n_src] for b in range(B))
+
+    def run(args):
+        if kernel == "bulk":
+            return DB.decode_bulk_batch(*args)
+        return DS.decode_stream_batch(*args)
 
     def timed(B, reps=3):
         args, sz = make_args(B)
-        r = DS.decode_stream_batch(*args)
-        host = np.asarray(r)
-        for b in range(min(B, n_src)):
+        host = np.asarray(run(args))
+        for b in range(B):  # verify EVERY timed block, repeats included
             size = sizes[b % n_src]
             want = data[(b % n_src) << 22:((b % n_src) << 22) + size]
             got = host[b].reshape(-1).view("<u1")[:size].tobytes()
-            assert got == want, f"tpu kernel mismatch on block {b}"
+            assert got == want, f"tpu {kernel} kernel mismatch on block {b}"
         t0 = time.perf_counter()
         for _ in range(reps):
-            r = DS.decode_stream_batch(*args)
+            r = run(args)
             np.asarray(jax.device_get(jnp.reshape(r, (-1,))[:1]))
         return (time.perf_counter() - t0) / reps, sz
 
     t0 = time.time()
     t1, sz1 = timed(1)
-    log(f"tpu: kernel compile+verify {time.time() - t0:.0f}s")
+    log(f"tpu[{kernel}]: kernel compile+verify {time.time() - t0:.0f}s")
     b2 = min(16, max(2, n_src))
     t2, sz2 = timed(b2)
     per_byte = (t2 - t1) / (sz2 - sz1)
@@ -266,16 +291,40 @@ def main():
                 f"{ref_size:,} = {len(stream) <= ref_size}")
             ratio_sweep(native, harness, td)
 
-    # --- TPU kernel: the headline (a TPU-native framework's number is the
-    # device path, not the host's) -------------------------------------------
-    tpu_mbps = None
+    # --- TPU kernels: the headline (a TPU-native framework's number is the
+    # device path, not the host's). Both decode formulations are measured
+    # and the better one reported — Mosaic's scheduling varies between
+    # sessions (BASELINE.md), so a single-kernel number is a coin flip.
+    tpu = {}
+    e2e_mbps = None
     if os.environ.get("TSQ_BENCH_TPU", "1") != "0":
         try:
             import jax
 
             if jax.devices()[0].platform == "tpu":
-                tpu_mbps = bench_tpu_kernel(data, native)
-                log(f"tpu: on-chip fused decode {tpu_mbps:.0f} MB/s/chip")
+                for kernel in ("bulk", "stream"):
+                    try:
+                        tpu[kernel] = bench_tpu_kernel(data, native, kernel)
+                        log(f"tpu: on-chip {kernel} decode "
+                            f"{tpu[kernel]:.0f} MB/s/chip")
+                    except Exception as e:
+                        log(f"tpu {kernel} kernel bench failed: {e}")
+                # e2e production path once, for the round-over-round trend
+                # (tunnel/host-bound on this box; labeled as such)
+                try:
+                    from turbosqueeze_tpu.parallel import pipeline
+
+                    sl = data[:min(len(data), 64 << 20)]
+                    st = native.compress(sl, True, level=0)
+                    t0 = time.perf_counter()
+                    out = pipeline.decompress(st, impl="bulk")
+                    dt = time.perf_counter() - t0
+                    assert out == sl
+                    e2e_mbps = len(sl) / 1e6 / dt
+                    log(f"tpu: e2e pipeline.decompress(impl='bulk') "
+                        f"{e2e_mbps:.1f} MB/s wall (tunnel/host-bound box)")
+                except Exception as e:
+                    log(f"tpu e2e bench failed: {e}")
             else:
                 log(f"tpu: no TPU backend ({jax.devices()[0].platform}); "
                     "headline falls back to host MT path")
@@ -283,13 +332,20 @@ def main():
             log(f"tpu kernel bench failed: {e}")
 
     baseline = ref_dec if ref_dec else 2503.0
-    if tpu_mbps is not None:
+    if tpu:
+        best = max(tpu, key=tpu.get)
+        extras = {f"kernel_{k}_mbps": round(v, 1) for k, v in tpu.items()}
+        if e2e_mbps is not None:
+            extras["e2e_decompress_mbps_tunnelbound"] = round(e2e_mbps, 1)
+        extras["host_mt_decode_mbps"] = round(dec_mbps, 1)
+        extras["host_mt_encode_mbps"] = round(enc_mbps, 1)
         print(json.dumps({
-            "metric": "on-chip fused .tsq decode (enwik9-class synthetic, "
-                      "MB/s per TPU chip)",
-            "value": round(tpu_mbps, 1),
+            "metric": f"on-chip .tsq decode, best kernel [{best}] "
+                      "(enwik9-class synthetic, MB/s per TPU chip)",
+            "value": round(tpu[best], 1),
             "unit": "MB/s",
-            "vs_baseline": round(tpu_mbps / baseline, 3),
+            "vs_baseline": round(tpu[best] / baseline, 3),
+            "extras": extras,
         }))
     else:
         print(json.dumps({

@@ -52,8 +52,8 @@ _ENTRY_SLACK = 256
 
 
 def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
-                        ring_ref, sem_lit, sem_out, sem_ring, *,
-                        lit_rows, rec_rows, out_rows):
+                        ring_ref, vring_ref, sem_lit, sem_out, sem_ring,
+                        sem_vring, *, lit_rows, rec_rows, out_rows):
     b = pl.program_id(0)
     size = meta_ref[b, 0]
     n_win = meta_ref[b, 1]
@@ -67,15 +67,26 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
                                  sem_lit)
     dlit.start()
 
+    # the record stream rides TWO mirrored prefetch rings: an SMEM ring
+    # (scalar header/source-row reads) and a VMEM ring (per-sublane
+    # parameter extraction by the gang-of-8 path — the scalar unit cannot
+    # feed 8-wide vector params, and the vector units cannot read SMEM)
     def ring_copy(s):
         row0 = jnp.minimum(s * 8, rec_rows - 8)
         return pltpu.make_async_copy(rec_hbm.at[b, pl.ds(row0, 8)],
                                      ring_ref.at[s & 3], sem_ring.at[s & 3])
 
-    ring_copy(0).start()
-    ring_copy(1).start()
-    ring_copy(2).start()
+    def vring_copy(s):
+        row0 = jnp.minimum(s * 8, rec_rows - 8)
+        return pltpu.make_async_copy(
+            rec_hbm.at[b, pl.ds(row0, 8)],
+            vring_ref.at[pl.ds((s & 3) * 8, 8)], sem_vring.at[s & 3])
+
+    for s in range(3):
+        ring_copy(s).start()
+        vring_copy(s).start()
     ring_copy(0).wait()
+    vring_copy(0).wait()
     dlit.wait()
 
     def word(p):
@@ -115,6 +126,68 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
             m = m | jnp.where(inside, jnp.int32(0xFF) << (8 * kk), 0)
         return (val & m) | (acc & ~m)
 
+    def apply_gang8(src_ref, p, srows, acc):
+        """Eight same-row records in one pass: params per SUBLANE, one
+        crossbar take per view — the (8,128)-wide twin of apply_record.
+        Op cost amortizes 8x; only the source-row slices stay per-record.
+        """
+        # record words [p, p+16) from the VMEM stream mirror
+        rr = (p >> 7) & 31
+        row_a = vring_ref[pl.ds(rr, 1), :]
+        row_b = vring_ref[pl.ds((rr + 1) & 31, 1), :]
+        a8 = jnp.broadcast_to(row_a, (8, LANES))
+        b8 = jnp.broadcast_to(row_b, (8, LANES))
+        L = (p & (LANES - 1)) + 2 * row8
+        w0v = jnp.where(L < LANES,
+                        jnp.take_along_axis(a8, L & (LANES - 1), axis=1),
+                        jnp.take_along_axis(b8, L & (LANES - 1), axis=1))
+        L1 = L + 1
+        w1v = jnp.where(L1 < LANES,
+                        jnp.take_along_axis(a8, L1 & (LANES - 1), axis=1),
+                        jnp.take_along_axis(b8, L1 & (LANES - 1), axis=1))
+        offv = w0v >> 10
+        lnv = w0v & 1023
+        isfillv = jax.lax.shift_right_logical(w1v, 31)
+        istailv = (w1v >> 30) & 1
+        ubv = (w1v & 0x1FFFFFFF) + istailv * (lit_rows * ROW_BYTES)
+        ev = (ubv & 511) - offv
+        eqv = ev >> 2
+        omv = (ev & 3) * 8
+        s0 = jnp.concatenate(
+            [src_ref[pl.ds(srows[k], 1), :] for k in range(8)], axis=0)
+        s1 = jnp.concatenate(
+            [src_ref[pl.ds(srows[k] + 1, 1), :] for k in range(8)], axis=0)
+        q = lane8 + eqv
+        g0 = jnp.where(
+            (q & 255) < LANES,
+            jnp.take_along_axis(s0, q & (LANES - 1), axis=1),
+            jnp.take_along_axis(s1, q & (LANES - 1), axis=1))
+        q1 = q + 1
+        g1 = jnp.where(
+            (q1 & 255) < LANES,
+            jnp.take_along_axis(s0, q1 & (LANES - 1), axis=1),
+            jnp.take_along_axis(s1, q1 & (LANES - 1), axis=1))
+        val = jnp.where(
+            omv == 0, g0,
+            jax.lax.shift_right_logical(g0, omv)
+            | jax.lax.shift_left(g1, 32 - jnp.maximum(omv, 8)))
+        fillw = (w1v & 0xFF) * 0x01010101
+        val = jnp.where(isfillv == 1, fillw, val)
+        m = jnp.zeros((8, LANES), jnp.int32)
+        pos0 = lane8 * 4
+        for kk in range(4):
+            pos = pos0 + kk
+            inside = jnp.logical_and(pos >= offv, pos < offv + lnv)
+            m = m | jnp.where(inside, jnp.int32(0xFF) << (8 * kk), 0)
+        contrib = val & m
+        cv = contrib[0:4] | contrib[4:8]
+        cv = cv[0:2] | cv[2:4]
+        cv = cv[0:1] | cv[1:2]
+        mv = m[0:4] | m[4:8]
+        mv = mv[0:2] | mv[2:4]
+        mv = mv[0:1] | mv[1:2]
+        return cv | (acc & ~mv)
+
     def entry(carry):
         p, waited = carry
         # ring invariant: slots [0, waited] complete, (waited, waited+2]
@@ -125,6 +198,8 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
             p_, w_ = st
             ring_copy(w_ + 1).wait()
             ring_copy(w_ + 3).start()
+            vring_copy(w_ + 1).wait()
+            vring_copy(w_ + 3).start()
             return p_, w_ + 1
 
         p, waited = jax.lax.cond(hi > waited, advance, lambda st: st,
@@ -156,11 +231,27 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
 
             return one, rest
 
+        def gang8(src_ref):
+            def g8(_, c):
+                p_, a = c
+                srows = []
+                for k in range(8):
+                    w1s = word(p_ + 2 * k + 1)
+                    ub = ((w1s & 0x1FFFFFFF)
+                          + ((w1s >> 30) & 1) * (lit_rows * ROW_BYTES))
+                    srows.append(ub >> 9)
+                a = apply_gang8(src_ref, p_, srows, a)
+                return p_ + 16, a
+
+            return g8
+
         u4, u1 = gang(u_ref)
         w4, w1 = gang(w_ref)
-        p, acc = jax.lax.fori_loop(0, n_u >> 2, u4, (p, acc))
+        p, acc = jax.lax.fori_loop(0, n_u >> 3, gang8(u_ref), (p, acc))
+        p, acc = jax.lax.fori_loop(0, (n_u >> 2) & 1, u4, (p, acc))
         p, acc = jax.lax.fori_loop(0, n_u & 3, u1, (p, acc))
-        p, acc = jax.lax.fori_loop(0, n_w >> 2, w4, (p, acc))
+        p, acc = jax.lax.fori_loop(0, n_w >> 3, gang8(w_ref), (p, acc))
+        p, acc = jax.lax.fori_loop(0, (n_w >> 2) & 1, w4, (p, acc))
         p, acc = jax.lax.fori_loop(0, n_w & 3, w1, (p, acc))
         w_ref[pl.ds(row, 1), :] = acc
         return p, waited
@@ -192,6 +283,8 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
     # drain the in-flight ring prefetches before the grid step ends
     ring_copy(waited + 1).wait()
     ring_copy(waited + 2).wait()
+    vring_copy(waited + 1).wait()
+    vring_copy(waited + 2).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "out_rows"))
@@ -224,8 +317,10 @@ def decode_bulk_batch(lit_words, rec_words, meta, *, interpret=False,
             pltpu.VMEM((lit_rows + TAIL_ROWS + 2, LANES), jnp.int32),
             pltpu.VMEM((WIN_ROWS + 2, LANES), jnp.int32),
             pltpu.SMEM((_REC_SLOTS, 8, LANES), jnp.int32),
+            pltpu.VMEM((_REC_SLOTS * 8, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((_REC_SLOTS,)),
             pltpu.SemaphoreType.DMA((_REC_SLOTS,)),
         ],
         interpret=interpret,

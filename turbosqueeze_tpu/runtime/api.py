@@ -22,11 +22,23 @@ def _native_available() -> bool:
         return False
 
 
-def _resolve(backend: str) -> str:
+def _resolve(backend: str, warn_tpu_compress: bool = False) -> str:
     if backend == "auto":
         return "native" if _native_available() else "oracle"
     if backend not in ("oracle", "native", "tpu"):
         raise ValueError(f"unknown backend: {backend!r}")
+    if backend == "tpu" and warn_tpu_compress:
+        # measured on v5e (BASELINE.md): device-resident emission runs
+        # ~26-30 MB/s/chip vs ~300 MB/s for the host MT path — the scalar
+        # unit cannot absorb LZ emission. Don't let an explicit
+        # --backend tpu silently cost 10x on the encode side.
+        import warnings
+
+        warnings.warn(
+            "backend='tpu' compression is currently much slower than the "
+            "native host path (~26 vs ~300 MB/s per chip/core measured); "
+            "use backend='auto' unless you need device-resident encode",
+            RuntimeWarning, stacklevel=3)
     return backend
 
 
@@ -41,7 +53,7 @@ def compress(data: bytes, ext: bool = True, backend: str = "auto",
     ``dictionary`` (framework extension, <=64 KiB) supplies shared context
     virtually preceding every block; both ends must use the same one.
     """
-    b = _resolve(backend)
+    b = _resolve(backend, warn_tpu_compress=True)
     if dictionary is not None:
         if b == "oracle":
             raise NotImplementedError(
