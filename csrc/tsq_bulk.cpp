@@ -93,6 +93,13 @@ struct Resolver {
 
   std::vector<Interval> iv;
   std::vector<Deferred> dq;
+  // bucket index: for each 64-byte output bucket, the iv index of the
+  // last interval starting at or before the bucket base — find() becomes
+  // a lookup plus a short forward walk instead of a full binary search
+  std::vector<uint32_t> bidx;
+  uint32_t bnext = 0;  // next bucket to fill
+
+  static constexpr uint32_t kBShift = 6;
 
   Resolver(uint32_t size_, uint32_t* rec_, uint64_t cap_, uint32_t* meta_)
       : size(size_), rec(rec_), cap(cap_), meta(meta_) {
@@ -112,7 +119,7 @@ struct Resolver {
       overflow = true;
       return;
     }
-    if (hdr_pos < 0 || row != hdr_row) {
+    if (hdr_pos < 0 || row != hdr_row || hdr_cnt >= kBulkMaxEntryRecs) {
       close_entry();
       hdr_row = row;
       hdr_pos = (int64_t)n;
@@ -124,7 +131,11 @@ struct Resolver {
     ++hdr_cnt;
   }
 
-  // split the pending resolved record at 512-byte rows and emit
+  // split the pending resolved record at 512-byte DST rows and, for
+  // copies, at 512-byte SOURCE rows too: the kernel's gather then reads
+  // exactly one source row per record (single dynamic slice, no
+  // row-crossing selects). Crossings add <= 2% records at typical
+  // lengths.
   void flush_pending() {
     if (!have) return;
     have = false;
@@ -132,6 +143,12 @@ struct Resolver {
     while (len) {
       uint32_t off = dst & 511u;
       uint32_t take = 512u - off;
+      if (pkind != kConst) {
+        uint32_t sroom = 512u - ((pkind == kOut
+                                      ? src - (win_start - kBulkTail)
+                                      : src) & 511u);
+        if (sroom < take) take = sroom;
+      }
       if (take > len) take = len;
       uint32_t row = (dst - win_start) >> 9;
       uint32_t w0 = (off << 10) | take;
@@ -170,10 +187,34 @@ struct Resolver {
       if (b.kind == kind && b.dst + b.len == dst &&
           (kind == kConst ? b.src == src : b.src + b.len == src)) {
         b.len += len;
+        index_to(b.dst + b.len);
         return;
       }
     }
     iv.push_back({dst, len, src, kind});
+    index_to(dst + len);
+  }
+
+  // coverage is gapless, so every bucket whose base lies before the last
+  // interval's end is covered by it or an earlier (already-indexed) one
+  void index_to(uint32_t end) {
+    uint32_t i = (uint32_t)iv.size() - 1;
+    while ((bnext << kBShift) < end) {
+      bidx.push_back(i);
+      ++bnext;
+    }
+  }
+
+  void rebuild_index() {
+    bidx.clear();
+    bnext = 0;
+    for (uint32_t i = 0; i < (uint32_t)iv.size(); ++i) {
+      uint32_t end = iv[i].dst + iv[i].len;
+      while ((bnext << kBShift) < end) {
+        bidx.push_back(i);
+        ++bnext;
+      }
+    }
   }
 
   // emit deferred (W-space) entries in dst order — topologically valid
@@ -213,6 +254,8 @@ struct Resolver {
       while (len) {
         uint32_t off = dst & 511u;
         uint32_t take = 512u - off;
+        uint32_t sroom = 512u - (wsrc & 511u);  // single source row
+        if (sroom < take) take = sroom;
         if (take > len) take = len;
         uint32_t row = (dst - win_start) >> 9;
         if (n + 4 > cap) {
@@ -222,7 +265,8 @@ struct Resolver {
         // conservative same-entry overlap rule: source at or beyond the
         // open entry's first write could read not-yet-stored bytes
         bool hazard = whdr >= 0 && row == wrow && wsrc + take > entry_first;
-        if (whdr < 0 || row != wrow || hazard) {
+        if (whdr < 0 || row != wrow || hazard ||
+            wcnt >= kBulkMaxEntryRecs) {
           close_w();
           whdr = (int64_t)n;
           wrow = row;
@@ -276,6 +320,7 @@ struct Resolver {
       nv.push_back(I);
     }
     iv.swap(nv);
+    rebuild_index();
   }
 
   // emit a resolved extent, splitting at window boundaries
@@ -302,12 +347,12 @@ struct Resolver {
   }
 
   size_t find(uint32_t pos) const {  // last interval with .dst <= pos
-    size_t lo = 0, hi = iv.size();
-    while (hi - lo > 1) {
-      size_t mid = (lo + hi) / 2;
-      if (iv[mid].dst <= pos) lo = mid; else hi = mid;
-    }
-    return lo;
+    uint32_t bk = pos >> kBShift;
+    size_t i = bk < bidx.size() ? bidx[bk] : (iv.empty() ? 0
+                                                         : iv.size() - 1);
+    while (i + 1 < iv.size() && iv[i + 1].dst <= pos) ++i;
+    while (i > 0 && iv[i].dst > pos) --i;
+    return i;
   }
 
   void finish() {

@@ -207,6 +207,9 @@ constexpr int kBulkResolveK = 1;
 constexpr uint32_t kBulkMaxLevel = 1u << 20;
 constexpr int64_t kBulkFallback = -100;  // stream too fragmented
 constexpr int64_t kBulkOverflow = -101;  // rec buffer too small: retry
+// entry record cap: bounds the kernel's per-entry record-stream
+// consumption so its SMEM prefetch ring lookahead stays fixed
+constexpr uint32_t kBulkMaxEntryRecs = 120;
 
 // meta[0]=size, [1]=n_windows, [2]=literal bytes, [3]=record words,
 // [4+w]=record word offset where window w starts (w <= kBulkMaxWin).

@@ -104,15 +104,14 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
         e = sb - off
         eq = e >> 2                      # arithmetic: floor for negatives
         om = (e & 3) * 8
-        win = src_ref[pl.ds(srow, 2), :]
-        # one crossbar pass: stack rows are [w0 w1 w0 w1 ...]; rows 0-1
-        # gather word q, rows 2-3 word q+1 (the cross-word byte view)
-        stack = jnp.concatenate([win, win, win, win], axis=0)
+        # single source row (resolver invariant); one crossbar pass: rows
+        # 0-1 gather word q, rows 2-3 word q+1 (the cross-word byte view)
+        win = src_ref[pl.ds(srow, 1), :]
+        stack = jnp.broadcast_to(win, (8, LANES))
         q8 = lane8 + eq + plus1
         g = jnp.take_along_axis(stack, q8 & (LANES - 1), axis=1)
-        q = lane + eq
-        g0 = jnp.where((q & 255) < LANES, g[0:1], g[1:2])
-        g1 = jnp.where(((q + 1) & 255) < LANES, g[2:3], g[3:4])
+        g0 = g[0:1]
+        g1 = g[2:3]
         val = jnp.where(
             om == 0, g0,
             jax.lax.shift_right_logical(g0, om)
@@ -153,20 +152,13 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
         ev = (ubv & 511) - offv
         eqv = ev >> 2
         omv = (ev & 3) * 8
+        # single source row per record (resolver splits at source-row
+        # boundaries): one slice each, no row-crossing selects
         s0 = jnp.concatenate(
             [src_ref[pl.ds(srows[k], 1), :] for k in range(8)], axis=0)
-        s1 = jnp.concatenate(
-            [src_ref[pl.ds(srows[k] + 1, 1), :] for k in range(8)], axis=0)
         q = lane8 + eqv
-        g0 = jnp.where(
-            (q & 255) < LANES,
-            jnp.take_along_axis(s0, q & (LANES - 1), axis=1),
-            jnp.take_along_axis(s1, q & (LANES - 1), axis=1))
-        q1 = q + 1
-        g1 = jnp.where(
-            (q1 & 255) < LANES,
-            jnp.take_along_axis(s0, q1 & (LANES - 1), axis=1),
-            jnp.take_along_axis(s1, q1 & (LANES - 1), axis=1))
+        g0 = jnp.take_along_axis(s0, q & (LANES - 1), axis=1)
+        g1 = jnp.take_along_axis(s0, (q + 1) & (LANES - 1), axis=1)
         val = jnp.where(
             omv == 0, g0,
             jax.lax.shift_right_logical(g0, omv)
