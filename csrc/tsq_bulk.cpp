@@ -32,11 +32,17 @@
 //   each record 2 words:
 //     w0 = (dst_offset_in_row << 10) | length            length 1..512
 //     w1 = bit31 FILL: | byte value (low 8)
-//          bit30 TAIL: | offset into the 130-row tail region (previous
-//                        windows' final output, kBulkTail bytes)
 //          bit29 WSRC: | window-relative source byte offset (this
 //                        window's output, final by stream order)
-//          else  LIT:  | byte offset into the literal plane
+//          else: U-space byte address — [0, kBulkTail) is the 130-row
+//                tail region (previous windows' final output), then the
+//                literal plane at kBulkTail + lit_offset. The kernel's
+//                U scratch is laid out [tail | lit] to match, so source
+//                row = address >> 9 with no flag arithmetic.
+//
+//   Every copy record's source lies within ONE 512-byte source row
+//   (records split at source-row boundaries): the kernel gathers with a
+//   single dynamic row slice per record.
 //
 // The tail must reach anchor - 65534 where the pair anchor can lie up to
 // 64 bytes (one max ext symbol) before the window base: 65534 + 64 =
@@ -146,7 +152,7 @@ struct Resolver {
       if (pkind != kConst) {
         uint32_t sroom = 512u - ((pkind == kOut
                                       ? src - (win_start - kBulkTail)
-                                      : src) & 511u);
+                                      : kBulkTail + src) & 511u);
         if (sroom < take) take = sroom;
       }
       if (take > len) take = len;
@@ -156,9 +162,9 @@ struct Resolver {
       if (pkind == kConst)
         w1 = 0x80000000u | (src & 0xFFu);
       else if (pkind == kOut)
-        w1 = 0x40000000u | (src - (win_start - kBulkTail));
+        w1 = src - (win_start - kBulkTail);   // [0, kBulkTail)
       else
-        w1 = src;
+        w1 = kBulkTail + src;                 // literal plane
       put(w0, w1, row);
       dst += take;
       len -= take;

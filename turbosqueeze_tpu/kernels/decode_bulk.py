@@ -7,24 +7,36 @@ block payload into:
   * a compacted LITERAL plane (non-constant literal bytes, in order),
   * a row-grouped RECORD stream: ordered entries, one 512-byte output
     row each (rows may repeat), holding copy/fill records that cover
-    every output byte exactly once.
+    every output byte exactly once, each copy reading a single source
+    row of already-final space.
 
 This kernel executes the stream. Per entry: load the output row into a
 register accumulator, apply the records, store the row once. Records
-read only from (a) the U plane — literal bytes plus a 130-row tail of
-previous 2 MiB windows' output — which the record loop never writes, or
-(b) W rows finalized by earlier entries (stream order is the topological
-order; the resolver guarantees an entry never reads bytes its own
-accumulator holds). Compare the fused kernel (decode_stream.py): no
-bitstream parse on the scalar unit (21.7 cyc/token measured floor — the
-parse lives on the host at GB/s/core), no read-modify-writes, and no
-same-ref store->read chains on the hot path, which is what Mosaic's
-index-blind aliasing serializes (BASELINE.md round-2 roofline).
+read only from (a) the U plane — a 130-row tail of previous 2 MiB
+windows' output followed by the literal plane — which the record loop
+never writes, or (b) W rows finalized by earlier entries (stream order
+is the topological order; the resolver guarantees an entry never reads
+bytes its own accumulator holds). Compare the fused kernel
+(decode_stream.py): no bitstream parse on the scalar unit (21.7
+cyc/token measured floor — the parse lives on the host at GB/s-class),
+no read-modify-writes, and no same-ref store->read chains on the hot
+path, which is what Mosaic's index-blind aliasing serializes
+(BASELINE.md round-2 roofline).
+
+Records are processed in gangs of 8, one record per SUBLANE: parameters
+are extracted from a VMEM mirror of the stream by crossbar takes (the
+scalar unit only supplies the 8 source-row addresses), and all
+alignment/mask/select math runs once per gang at (8,128). The gang loop
+is explicitly software-pipelined — gang g's gathered vectors ride the
+loop carry while gang g+1's loads issue — because Mosaic does not
+overlap chains across fori iterations on its own (measured: 93
+cyc/record fully serial, 27 with straight-line ganging, the pipeline
+hides the remaining crossbar latency).
 
 Geometry is shared with the resolver: 2 MiB windows (4096 rows),
 130-row tail reach (65534-byte offsets + a 64-byte pre-window anchor,
-/root/reference/tsq_encode.cpp:293-298), record stream encodings
-documented in csrc/tsq_bulk.cpp.
+/root/reference/tsq_encode.cpp:293-298), record encodings documented in
+csrc/tsq_bulk.cpp.
 """
 
 from __future__ import annotations
@@ -42,6 +54,7 @@ from .decode_tokens import LANES, OUT_ROWS, ROW_BYTES
 WIN_BYTES = 1 << 21
 WIN_ROWS = WIN_BYTES // ROW_BYTES           # 4096
 TAIL_ROWS = 130                             # >= (65534 + 64) / 512
+TAIL_BYTES = TAIL_ROWS * ROW_BYTES
 MAX_WIN = 2                                 # 4 MiB block / 2 MiB window
 
 _REC_SLOT_WORDS = 1024                      # ring slot = (8,128) i32
@@ -63,14 +76,16 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
     plus1 = (row8 >> 1) & 1  # rows 2,3 (and 6,7) gather the +1-word view
 
-    dlit = pltpu.make_async_copy(lit_hbm.at[b], u_ref.at[pl.ds(0, lit_rows)],
-                                 sem_lit)
+    # U layout mirrors the record encoding: [tail rows | literal plane],
+    # so source row = u_address >> 9 with no flag arithmetic
+    dlit = pltpu.make_async_copy(
+        lit_hbm.at[b], u_ref.at[pl.ds(TAIL_ROWS, lit_rows)], sem_lit)
     dlit.start()
 
     # the record stream rides TWO mirrored prefetch rings: an SMEM ring
     # (scalar header/source-row reads) and a VMEM ring (per-sublane
-    # parameter extraction by the gang-of-8 path — the scalar unit cannot
-    # feed 8-wide vector params, and the vector units cannot read SMEM)
+    # parameter extraction by the gang path — the scalar unit cannot feed
+    # 8-wide vector params, and the vector units cannot read SMEM)
     def ring_copy(s):
         row0 = jnp.minimum(s * 8, rec_rows - 8)
         return pltpu.make_async_copy(rec_hbm.at[b, pl.ds(row0, 8)],
@@ -93,15 +108,12 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
         return ring_ref[(p >> 10) & 3, (p >> 7) & 7, p & (LANES - 1)]
 
     def apply_record(src_ref, w0, w1, acc):
-        """One record against the row accumulator. src_ref = U or W."""
+        """Single-record remainder path (entries' count mod 8)."""
         off = w0 >> 10
         ln = w0 & 1023
         is_fill = jax.lax.shift_right_logical(w1, 31)
-        is_tail = (w1 >> 30) & 1
-        ubyte = (w1 & 0x1FFFFFFF) + is_tail * (lit_rows * ROW_BYTES)
-        srow = ubyte >> 9
-        sb = ubyte & 511
-        e = sb - off
+        srow = (w1 & 0x0FFFFFFF) >> 9
+        e = (w1 & 511) - off
         eq = e >> 2                      # arithmetic: floor for negatives
         om = (e & 3) * 8
         # single source row (resolver invariant); one crossbar pass: rows
@@ -125,12 +137,10 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
             m = m | jnp.where(inside, jnp.int32(0xFF) << (8 * kk), 0)
         return (val & m) | (acc & ~m)
 
-    def apply_gang8(src_ref, p, srows, acc):
-        """Eight same-row records in one pass: params per SUBLANE, one
-        crossbar take per view — the (8,128)-wide twin of apply_record.
-        Op cost amortizes 8x; only the source-row slices stay per-record.
-        """
-        # record words [p, p+16) from the VMEM stream mirror
+    def gather8(src_ref, p):
+        """Issue the loads for one gang of 8 same-row records: stream
+        params from the VMEM mirror, source rows by scalar-addressed
+        slices, the aligned word views by two crossbar takes."""
         rr = (p >> 7) & 31
         row_a = vring_ref[pl.ds(rr, 1), :]
         row_b = vring_ref[pl.ds((rr + 1) & 31, 1), :]
@@ -144,25 +154,29 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
         w1v = jnp.where(L1 < LANES,
                         jnp.take_along_axis(a8, L1 & (LANES - 1), axis=1),
                         jnp.take_along_axis(b8, L1 & (LANES - 1), axis=1))
-        offv = w0v >> 10
-        lnv = w0v & 1023
-        isfillv = jax.lax.shift_right_logical(w1v, 31)
-        istailv = (w1v >> 30) & 1
-        ubv = (w1v & 0x1FFFFFFF) + istailv * (lit_rows * ROW_BYTES)
-        ev = (ubv & 511) - offv
-        eqv = ev >> 2
-        omv = (ev & 3) * 8
-        # single source row per record (resolver splits at source-row
-        # boundaries): one slice each, no row-crossing selects
         s0 = jnp.concatenate(
-            [src_ref[pl.ds(srows[k], 1), :] for k in range(8)], axis=0)
+            [src_ref[pl.ds((word(p + 2 * k + 1) & 0x0FFFFFFF) >> 9, 1), :]
+             for k in range(8)], axis=0)
+        offv = w0v >> 10
+        ev = (w1v & 511) - offv
+        eqv = ev >> 2
         q = lane8 + eqv
         g0 = jnp.take_along_axis(s0, q & (LANES - 1), axis=1)
         g1 = jnp.take_along_axis(s0, (q + 1) & (LANES - 1), axis=1)
+        return w0v, w1v, g0, g1
+
+    def fold8(st, acc):
+        """Fold one gathered gang into the row accumulator."""
+        w0v, w1v, g0, g1 = st
+        offv = w0v >> 10
+        lnv = w0v & 1023
+        ev = (w1v & 511) - offv
+        omv = (ev & 3) * 8
         val = jnp.where(
             omv == 0, g0,
             jax.lax.shift_right_logical(g0, omv)
             | jax.lax.shift_left(g1, 32 - jnp.maximum(omv, 8)))
+        isfillv = jax.lax.shift_right_logical(w1v, 31)
         fillw = (w1v & 0xFF) * 0x01010101
         val = jnp.where(isfillv == 1, fillw, val)
         m = jnp.zeros((8, LANES), jnp.int32)
@@ -179,6 +193,25 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
         mv = mv[0:2] | mv[2:4]
         mv = mv[0:1] | mv[1:2]
         return cv | (acc & ~mv)
+
+    def pipe8(src_ref, p, n8, acc):
+        """Software-pipelined gang loop: fold gang g (carried gathers)
+        while issuing gang g+1's loads. Exactly n8 gathers are issued —
+        no overrun reads past the entry."""
+
+        def body(_, c):
+            p_, a, st = c
+            a = fold8(st, a)
+            st = gather8(src_ref, p_ + 16)
+            return p_ + 16, a, st
+
+        def run(c):
+            p_, a = c
+            st = gather8(src_ref, p_)
+            p_, a, st = jax.lax.fori_loop(0, n8 - 1, body, (p_, a, st))
+            return p_ + 16, fold8(st, a)
+
+        return jax.lax.cond(n8 > 0, run, lambda c: c, (p, acc))
 
     def entry(carry):
         p, waited = carry
@@ -203,48 +236,18 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
         p += 2
         acc = w_ref[pl.ds(row, 1), :]
 
-        # gangs of 4 records per loop iteration: records are mutually
-        # independent (the accumulator chain is cheap selects), so the
-        # straight-line span lets Mosaic overlap their gather chains —
-        # cross-iteration software pipelining alone measured ~93
-        # cyc/record (full crossbar latency exposed)
-        def gang(src_ref):
-            def one(_, c):
-                p_, a = c
-                for k in range(4):
-                    a = apply_record(src_ref, word(p_ + 2 * k),
-                                     word(p_ + 2 * k + 1), a)
-                return p_ + 8, a
-
+        def one(src_ref):
             def rest(_, c):
                 p_, a = c
                 a = apply_record(src_ref, word(p_), word(p_ + 1), a)
                 return p_ + 2, a
 
-            return one, rest
+            return rest
 
-        def gang8(src_ref):
-            def g8(_, c):
-                p_, a = c
-                srows = []
-                for k in range(8):
-                    w1s = word(p_ + 2 * k + 1)
-                    ub = ((w1s & 0x1FFFFFFF)
-                          + ((w1s >> 30) & 1) * (lit_rows * ROW_BYTES))
-                    srows.append(ub >> 9)
-                a = apply_gang8(src_ref, p_, srows, a)
-                return p_ + 16, a
-
-            return g8
-
-        u4, u1 = gang(u_ref)
-        w4, w1 = gang(w_ref)
-        p, acc = jax.lax.fori_loop(0, n_u >> 3, gang8(u_ref), (p, acc))
-        p, acc = jax.lax.fori_loop(0, (n_u >> 2) & 1, u4, (p, acc))
-        p, acc = jax.lax.fori_loop(0, n_u & 3, u1, (p, acc))
-        p, acc = jax.lax.fori_loop(0, n_w >> 3, gang8(w_ref), (p, acc))
-        p, acc = jax.lax.fori_loop(0, (n_w >> 2) & 1, w4, (p, acc))
-        p, acc = jax.lax.fori_loop(0, n_w & 3, w1, (p, acc))
+        p, acc = pipe8(u_ref, p, n_u >> 3, acc)
+        p, acc = jax.lax.fori_loop(0, n_u & 7, one(u_ref), (p, acc))
+        p, acc = pipe8(w_ref, p, n_w >> 3, acc)
+        p, acc = jax.lax.fori_loop(0, n_w & 7, one(w_ref), (p, acc))
         w_ref[pl.ds(row, 1), :] = acc
         return p, waited
 
@@ -255,15 +258,16 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
             @pl.when(w + 1 <= n_win)
             def _():
                 # stage the tail: last TAIL_ROWS rows of the previous
-                # window become U's tail region
+                # window become U's tail region (rows [0, TAIL_ROWS))
                 for k in range(TAIL_ROWS // 8 + 1):
                     src0 = min(WIN_ROWS - TAIL_ROWS + 8 * k, WIN_ROWS - 8)
-                    dst0 = min(lit_rows + 8 * k, lit_rows + TAIL_ROWS - 8)
+                    dst0 = min(8 * k, TAIL_ROWS - 8)
                     u_ref[pl.ds(dst0, 8), :] = w_ref[pl.ds(src0, 8), :]
 
         p_end = meta_ref[b, 5 + w]
         p, waited = jax.lax.while_loop(lambda c: c[0] < p_end, entry,
                                        (p, waited))
+
         @pl.when(w + 1 <= n_win)
         def _(w=w):
             dout = pltpu.make_async_copy(
@@ -306,7 +310,7 @@ def decode_bulk_batch(lit_words, rec_words, meta, *, interpret=False,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, out_rows, LANES), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((lit_rows + TAIL_ROWS + 2, LANES), jnp.int32),
+            pltpu.VMEM((TAIL_ROWS + lit_rows + 2, LANES), jnp.int32),
             pltpu.VMEM((WIN_ROWS + 2, LANES), jnp.int32),
             pltpu.SMEM((_REC_SLOTS, 8, LANES), jnp.int32),
             pltpu.VMEM((_REC_SLOTS * 8, LANES), jnp.int32),

@@ -391,12 +391,9 @@ def _sharded_decode_xla(mesh: Mesh, n_out: int = DXL.OUT_N):
 
 
 @functools.lru_cache(maxsize=8)
-def _sharded_decode_stream(mesh: Mesh, out_rows: int = DK.OUT_ROWS,
-                           kernel: str = "stream"):
+def _sharded_decode_stream(mesh: Mesh, out_rows: int = DK.OUT_ROWS):
     """jit(shard_map(fused parse+reconstruct kernel)) over the block axis;
-    the preset dictionary rides REPLICATED (the BASELINE broadcast).
-    kernel 'ring' selects the K-stream sliding-window decoder
-    (kernels/decode_ring.py) instead of the single-stream default."""
+    the preset dictionary rides REPLICATED (the BASELINE broadcast)."""
     spec = P(mesh_mod.BLOCK_AXIS)
 
     @jax.jit
@@ -405,13 +402,6 @@ def _sharded_decode_stream(mesh: Mesh, out_rows: int = DK.OUT_ROWS,
                        check_vma=False)
     def run(payload_words, meta, dict_words):
         interp = jax.default_backend() == "cpu"
-        if kernel == "ring":
-            from ..kernels import decode_ring as DRG
-
-            streams = min(8, payload_words.shape[0])
-            return DRG.decode_ring_batch(
-                payload_words, meta, dict_words, out_rows=out_rows,
-                streams=streams, interpret=interp)
         return DST.decode_stream_batch(payload_words, meta, dict_words,
                                        out_rows=out_rows, interpret=interp)
 
@@ -419,8 +409,7 @@ def _sharded_decode_stream(mesh: Mesh, out_rows: int = DK.OUT_ROWS,
 
 
 def _decode_window_stream(stream, table_window, mesh: Mesh,
-                          dictionary: Optional[bytes] = None,
-                          kernel: str = "stream") -> List[bytes]:
+                          dictionary: Optional[bytes] = None) -> List[bytes]:
     """Decode one window of blocks via the fused on-chip parser — no host
     tokenization at all; the raw payloads are the only device input (plus
     the replicated preset dictionary when one is in play)."""
@@ -449,7 +438,7 @@ def _decode_window_stream(stream, table_window, mesh: Mesh,
     dict_words = (DST.pack_dict_words(dictionary) if dictionary
                   else np.zeros((8, DK.LANES), np.int32))
     sharding = mesh_mod.block_sharding(mesh)
-    host = _to_host0(_sharded_decode_stream(mesh, out_rows, kernel)(
+    host = _to_host0(_sharded_decode_stream(mesh, out_rows)(
         _device_put_rows((B, DK.PAY_ROWS, DK.LANES), np.int32, sharding,
                          pack_rows),
         _device_put(meta, sharding),
@@ -599,8 +588,6 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     (kernels/decode_bulk.py — no on-chip parse, no RMW chains);
     'stream' = the fused on-chip parser (raw payload is the only device
     input — phase A AND B on chip);
-    'ring' = the K-stream sliding-window variant of the fused parser
-    (kernels/decode_ring.py: bounded VMEM, blocks decoded in lockstep);
     'pallas' = the token-chunk kernel (host tokenize + on-chip byte
     movement; handles dictionaries); 'xla' = the portable scatter/gather +
     pointer-doubling formulation (fast path on CPU meshes and any backend
@@ -637,12 +624,11 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
             continue
         if impl == "bulk" and dictionary is None:
             blocks_out = _decode_window_bulk(stream, win, mesh)
-        elif impl in ("stream", "ring", "bulk"):
+        elif impl in ("stream", "bulk"):
             # bulk with a dictionary rides the fused parser (the preset
             # context is staged on-device there)
-            kernel = "stream" if impl == "bulk" else impl
             blocks_out = _decode_window_stream(stream, win, mesh,
-                                               dictionary, kernel=kernel)
+                                               dictionary)
         else:
             parsed, _ = _tokenize_all(stream, win, dictionary)
             if impl == "xla":
