@@ -507,3 +507,73 @@ int64_t tsq_bulk_prep(const uint8_t* in, uint64_t in_size, int ext,
 }
 
 }  // extern "C"
+
+namespace tsq {
+
+// Zip two blocks' record streams into one strictly-alternating stream for
+// the two-block co-scheduled kernel (decode_bulk2): per window, entries
+// alternate A,B,A,B..., padding the shorter side with empty entries
+// (row 0, zero records). Strict alternation lets the kernel process one
+// A-entry and one B-entry per straight-line loop body against SEPARATE
+// scratch refs — the only reliable way to overlap their gather chains
+// (Mosaic neither pipelines across loop iterations nor past conds).
+// meta2: [sizeA, sizeB, n_winA, n_winB, off_w0.., off_w(max)] over the
+// merged stream. Returns merged words or kBulkOverflow.
+int64_t bulk_merge2(const uint32_t* ra, const uint32_t* ma,
+                    const uint32_t* rb, const uint32_t* mb,
+                    uint32_t* out, uint64_t cap, uint32_t* meta2) {
+  meta2[0] = ma[0];
+  meta2[1] = mb[0];
+  meta2[2] = ma[1];
+  meta2[3] = mb[1];
+  uint64_t n = 0;
+  uint32_t n_win = ma[1] > mb[1] ? ma[1] : mb[1];
+  meta2[4] = 0;
+  auto entry_len = [](const uint32_t* r, uint32_t p) {
+    uint32_t h1 = r[p + 1];
+    return 2 + 2 * ((h1 >> 16) + (h1 & 0xFFFF));
+  };
+  for (uint32_t w = 0; w < n_win; ++w) {
+    uint32_t pa = ma[4 + w], ea = ma[5 + w];
+    uint32_t pb = mb[4 + w], eb = mb[5 + w];
+    while (pa < ea || pb < eb) {
+      if (n + 2 * (uint64_t)(2 + 2 * kBulkMaxEntryRecs) > cap)
+        return kBulkOverflow;
+      if (pa < ea) {
+        uint32_t l = entry_len(ra, pa);
+        std::memcpy(out + n, ra + pa, 4 * l);
+        n += l;
+        pa += l;
+      } else {
+        out[n++] = 0;  // empty A entry
+        out[n++] = 0;
+      }
+      if (pb < eb) {
+        uint32_t l = entry_len(rb, pb);
+        std::memcpy(out + n, rb + pb, 4 * l);
+        n += l;
+        pb += l;
+      } else {
+        out[n++] = 0;  // empty B entry
+        out[n++] = 0;
+      }
+    }
+    if (5 + w < kBulkMetaWords) meta2[5 + w] = (uint32_t)n;
+  }
+  for (uint32_t w = n_win; 5 + w < kBulkMetaWords + 0 && w <= kBulkMaxWin;
+       ++w)
+    meta2[5 + w] = (uint32_t)n;
+  return (int64_t)n;
+}
+
+}  // namespace tsq
+
+extern "C" {
+
+int64_t tsq_bulk_merge2(const uint32_t* ra, const uint32_t* ma,
+                        const uint32_t* rb, const uint32_t* mb,
+                        uint32_t* out, uint64_t cap, uint32_t* meta2) {
+  return tsq::bulk_merge2(ra, ma, rb, mb, out, cap, meta2);
+}
+
+}  // extern "C"

@@ -123,6 +123,24 @@ def test_fuzz_roundtrip():
         _roundtrip(data, level=int(rng.integers(0, 3)))
 
 
+def test_two_block_coschedule():
+    """The K=2 kernel (merged alternating streams, separate scratch refs)
+    must agree bit-exactly, including the odd-count empty-block pad."""
+    from turbosqueeze_tpu.runtime import native
+
+    datas = [synthetic_text(700_000, seed=41),
+             bytes(300_000),
+             synthetic_binary(500_000, seed=43)]  # odd count -> pad
+    pe = [(native.compress(d, True, level=lv)[19:], True)
+          for d, lv in zip(datas, (0, 1, 2))]
+    planes = DB.prep_batch2(pe)
+    assert planes is not None
+    lw, rw, m2, sizes = planes
+    host = np.asarray(DB.decode_bulk2_batch(lw, rw, m2, interpret=True))
+    for k, d in enumerate(datas):
+        assert host[k].reshape(-1).view("<u1")[:sizes[k]].tobytes() == d
+
+
 def test_pipeline_impl_bulk_multiblock():
     from turbosqueeze_tpu.runtime import native
 

@@ -62,47 +62,15 @@ _REC_SLOTS = 4
 # an entry consumes <= 2 + 2*120 words (csrc kBulkMaxEntryRecs); the ring
 # must have this much lookahead beyond the cursor before parsing an entry
 _ENTRY_SLACK = 256
+_ENTRY_SLACK2 = 512  # two entries per iteration in the pair kernel
 
 
-def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
-                        ring_ref, vring_ref, sem_lit, sem_out, sem_ring,
-                        sem_vring, *, lit_rows, rec_rows, out_rows):
-    b = pl.program_id(0)
-    size = meta_ref[b, 0]
-    n_win = meta_ref[b, 1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    base4 = lane * 4
+def _machinery(ring_ref, vring_ref, lit_rows):
+    """Shared per-entry machinery over the given stream rings."""
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
     plus1 = (row8 >> 1) & 1  # rows 2,3 (and 6,7) gather the +1-word view
-
-    # U layout mirrors the record encoding: [tail rows | literal plane],
-    # so source row = u_address >> 9 with no flag arithmetic
-    dlit = pltpu.make_async_copy(
-        lit_hbm.at[b], u_ref.at[pl.ds(TAIL_ROWS, lit_rows)], sem_lit)
-    dlit.start()
-
-    # the record stream rides TWO mirrored prefetch rings: an SMEM ring
-    # (scalar header/source-row reads) and a VMEM ring (per-sublane
-    # parameter extraction by the gang path — the scalar unit cannot feed
-    # 8-wide vector params, and the vector units cannot read SMEM)
-    def ring_copy(s):
-        row0 = jnp.minimum(s * 8, rec_rows - 8)
-        return pltpu.make_async_copy(rec_hbm.at[b, pl.ds(row0, 8)],
-                                     ring_ref.at[s & 3], sem_ring.at[s & 3])
-
-    def vring_copy(s):
-        row0 = jnp.minimum(s * 8, rec_rows - 8)
-        return pltpu.make_async_copy(
-            rec_hbm.at[b, pl.ds(row0, 8)],
-            vring_ref.at[pl.ds((s & 3) * 8, 8)], sem_vring.at[s & 3])
-
-    for s in range(3):
-        ring_copy(s).start()
-        vring_copy(s).start()
-    ring_copy(0).wait()
-    vring_copy(0).wait()
-    dlit.wait()
+    base4 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) * 4
 
     def word(p):
         return ring_ref[(p >> 10) & 3, (p >> 7) & 7, p & (LANES - 1)]
@@ -195,40 +163,20 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
         return cv | (acc & ~mv)
 
     def pipe8(src_ref, p, n8, acc):
-        """Software-pipelined gang loop: fold gang g (carried gathers)
-        while issuing gang g+1's loads. Exactly n8 gathers are issued —
-        no overrun reads past the entry."""
+        """Gang loop: gather + fold straight-line per iteration. (An
+        explicit carried-state software pipeline measured SLOWER — 168 vs
+        182 MB/s — Mosaic spills the carried tiles; cross-gang overlap
+        comes from the two-block co-schedule instead.)"""
 
-        def body(_, c):
-            p_, a, st = c
-            a = fold8(st, a)
-            st = gather8(src_ref, p_ + 16)
-            return p_ + 16, a, st
-
-        def run(c):
+        def g8(_, c):
             p_, a = c
-            st = gather8(src_ref, p_)
-            p_, a, st = jax.lax.fori_loop(0, n8 - 1, body, (p_, a, st))
-            return p_ + 16, fold8(st, a)
+            a = fold8(gather8(src_ref, p_), a)
+            return p_ + 16, a
 
-        return jax.lax.cond(n8 > 0, run, lambda c: c, (p, acc))
+        return jax.lax.fori_loop(0, n8, g8, (p, acc))
 
-    def entry(carry):
-        p, waited = carry
-        # ring invariant: slots [0, waited] complete, (waited, waited+2]
-        # in flight; one entry consumes <= _ENTRY_SLACK words
-        hi = (p + _ENTRY_SLACK) >> 10
-
-        def advance(st):
-            p_, w_ = st
-            ring_copy(w_ + 1).wait()
-            ring_copy(w_ + 3).start()
-            vring_copy(w_ + 1).wait()
-            vring_copy(w_ + 3).start()
-            return p_, w_ + 1
-
-        p, waited = jax.lax.cond(hi > waited, advance, lambda st: st,
-                                 (p, waited))
+    def do_entry(p, u_ref, w_ref):
+        """Process one entry at stream position p; returns the new p."""
         row = word(p)
         h1 = word(p + 1)
         n_u = h1 >> 16
@@ -249,7 +197,72 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
         p, acc = pipe8(w_ref, p, n_w >> 3, acc)
         p, acc = jax.lax.fori_loop(0, n_w & 7, one(w_ref), (p, acc))
         w_ref[pl.ds(row, 1), :] = acc
-        return p, waited
+        return p
+
+    return word, do_entry
+
+
+def _stage_tail(u_ref, w_ref):
+    """Last TAIL_ROWS rows of the previous window -> U rows [0, TAIL)."""
+    for k in range(TAIL_ROWS // 8 + 1):
+        src0 = min(WIN_ROWS - TAIL_ROWS + 8 * k, WIN_ROWS - 8)
+        dst0 = min(8 * k, TAIL_ROWS - 8)
+        u_ref[pl.ds(dst0, 8), :] = w_ref[pl.ds(src0, 8), :]
+
+
+def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
+                        ring_ref, vring_ref, sem_lit, sem_out, sem_ring,
+                        sem_vring, *, lit_rows, rec_rows, out_rows):
+    b = pl.program_id(0)
+    n_win = meta_ref[b, 1]
+
+    # U layout mirrors the record encoding: [tail rows | literal plane],
+    # so source row = u_address >> 9 with no flag arithmetic
+    dlit = pltpu.make_async_copy(
+        lit_hbm.at[b], u_ref.at[pl.ds(TAIL_ROWS, lit_rows)], sem_lit)
+    dlit.start()
+
+    # the record stream rides TWO mirrored prefetch rings: an SMEM ring
+    # (scalar header/source-row reads) and a VMEM ring (per-sublane
+    # parameter extraction by the gang path — the scalar unit cannot feed
+    # 8-wide vector params, and the vector units cannot read SMEM)
+    def ring_copy(s):
+        row0 = jnp.minimum(s * 8, rec_rows - 8)
+        return pltpu.make_async_copy(rec_hbm.at[b, pl.ds(row0, 8)],
+                                     ring_ref.at[s & 3], sem_ring.at[s & 3])
+
+    def vring_copy(s):
+        row0 = jnp.minimum(s * 8, rec_rows - 8)
+        return pltpu.make_async_copy(
+            rec_hbm.at[b, pl.ds(row0, 8)],
+            vring_ref.at[pl.ds((s & 3) * 8, 8)], sem_vring.at[s & 3])
+
+    for s in range(3):
+        ring_copy(s).start()
+        vring_copy(s).start()
+    ring_copy(0).wait()
+    vring_copy(0).wait()
+    dlit.wait()
+
+    word, do_entry = _machinery(ring_ref, vring_ref, lit_rows)
+
+    def entry(carry):
+        p, waited = carry
+        # ring invariant: slots [0, waited] complete, (waited, waited+2]
+        # in flight; one entry consumes <= _ENTRY_SLACK words
+        hi = (p + _ENTRY_SLACK) >> 10
+
+        def advance(st):
+            p_, w_ = st
+            ring_copy(w_ + 1).wait()
+            ring_copy(w_ + 3).start()
+            vring_copy(w_ + 1).wait()
+            vring_copy(w_ + 3).start()
+            return p_, w_ + 1
+
+        p, waited = jax.lax.cond(hi > waited, advance, lambda st: st,
+                                 (p, waited))
+        return do_entry(p, u_ref, w_ref), waited
 
     waited = jnp.int32(0)
     p = jnp.int32(0)
@@ -257,12 +270,7 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
         if w > 0:
             @pl.when(w + 1 <= n_win)
             def _():
-                # stage the tail: last TAIL_ROWS rows of the previous
-                # window become U's tail region (rows [0, TAIL_ROWS))
-                for k in range(TAIL_ROWS // 8 + 1):
-                    src0 = min(WIN_ROWS - TAIL_ROWS + 8 * k, WIN_ROWS - 8)
-                    dst0 = min(8 * k, TAIL_ROWS - 8)
-                    u_ref[pl.ds(dst0, 8), :] = w_ref[pl.ds(src0, 8), :]
+                _stage_tail(u_ref, w_ref)
 
         p_end = meta_ref[b, 5 + w]
         p, waited = jax.lax.while_loop(lambda c: c[0] < p_end, entry,
@@ -277,6 +285,111 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
             dout.wait()
 
     # drain the in-flight ring prefetches before the grid step ends
+    ring_copy(waited + 1).wait()
+    ring_copy(waited + 2).wait()
+    vring_copy(waited + 1).wait()
+    vring_copy(waited + 2).wait()
+
+
+def _decode_bulk2_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u0_ref, w0_ref,
+                         u1_ref, w1_ref, ring_ref, vring_ref, sem_lit,
+                         sem_out, sem_ring, sem_vring, *, lit_rows, rec_rows,
+                         out_rows):
+    """Two-block co-schedule: one merged, strictly-alternating record
+    stream (csrc bulk_merge2) drives a pair of blocks against SEPARATE
+    scratch refs. Each loop body processes one A-entry and one B-entry
+    straight-line — their gather chains are independent (disjoint refs),
+    which is the one reliable way to hide the crossbar latency that
+    bounds the single-block kernel (Mosaic neither pipelines across
+    iterations nor past conds; measured 26.7 cyc/record single-block)."""
+    g = pl.program_id(0)
+    n_win_a = meta_ref[g, 2]
+    n_win_b = meta_ref[g, 3]
+    n_win = jnp.maximum(n_win_a, n_win_b)
+
+    dlit0 = pltpu.make_async_copy(
+        lit_hbm.at[2 * g], u0_ref.at[pl.ds(TAIL_ROWS, lit_rows)],
+        sem_lit.at[0])
+    dlit1 = pltpu.make_async_copy(
+        lit_hbm.at[2 * g + 1], u1_ref.at[pl.ds(TAIL_ROWS, lit_rows)],
+        sem_lit.at[1])
+    dlit0.start()
+    dlit1.start()
+
+    def ring_copy(s):
+        row0 = jnp.minimum(s * 8, rec_rows - 8)
+        return pltpu.make_async_copy(rec_hbm.at[g, pl.ds(row0, 8)],
+                                     ring_ref.at[s & 3], sem_ring.at[s & 3])
+
+    def vring_copy(s):
+        row0 = jnp.minimum(s * 8, rec_rows - 8)
+        return pltpu.make_async_copy(
+            rec_hbm.at[g, pl.ds(row0, 8)],
+            vring_ref.at[pl.ds((s & 3) * 8, 8)], sem_vring.at[s & 3])
+
+    for s in range(3):
+        ring_copy(s).start()
+        vring_copy(s).start()
+    ring_copy(0).wait()
+    vring_copy(0).wait()
+    dlit0.wait()
+    dlit1.wait()
+
+    word, do_entry = _machinery(ring_ref, vring_ref, lit_rows)
+
+    def entry_pair(carry):
+        p, waited = carry
+        # two entries per iteration: <= 2 * (2 + 2*120) words
+        hi = (p + _ENTRY_SLACK2) >> 10
+
+        def advance(st):
+            p_, w_ = st
+            ring_copy(w_ + 1).wait()
+            ring_copy(w_ + 3).start()
+            vring_copy(w_ + 1).wait()
+            vring_copy(w_ + 3).start()
+            return p_, w_ + 1
+
+        p, waited = jax.lax.cond(hi > waited, advance, lambda st: st,
+                                 (p, waited))
+        p = do_entry(p, u0_ref, w0_ref)
+        p = do_entry(p, u1_ref, w1_ref)
+        return p, waited
+
+    waited = jnp.int32(0)
+    p = jnp.int32(0)
+    for w in range(MAX_WIN):
+        if w > 0:
+            @pl.when(w + 1 <= n_win_a)
+            def _():
+                _stage_tail(u0_ref, w0_ref)
+
+            @pl.when(w + 1 <= n_win_b)
+            def _():
+                _stage_tail(u1_ref, w1_ref)
+
+        p_end = meta_ref[g, 5 + w]
+        p, waited = jax.lax.while_loop(lambda c: c[0] < p_end, entry_pair,
+                                       (p, waited))
+
+        @pl.when(w + 1 <= n_win_a)
+        def _(w=w):
+            d = pltpu.make_async_copy(
+                w0_ref.at[pl.ds(0, WIN_ROWS)],
+                out_hbm.at[2 * g, pl.ds(w * WIN_ROWS, WIN_ROWS)],
+                sem_out.at[0])
+            d.start()
+            d.wait()
+
+        @pl.when(w + 1 <= n_win_b)
+        def _(w=w):
+            d = pltpu.make_async_copy(
+                w1_ref.at[pl.ds(0, WIN_ROWS)],
+                out_hbm.at[2 * g + 1, pl.ds(w * WIN_ROWS, WIN_ROWS)],
+                sem_out.at[1])
+            d.start()
+            d.wait()
+
     ring_copy(waited + 1).wait()
     ring_copy(waited + 2).wait()
     vring_copy(waited + 1).wait()
@@ -321,6 +434,51 @@ def decode_bulk_batch(lit_words, rec_words, meta, *, interpret=False,
         ],
         interpret=interpret,
     )(meta, lit_words, rec_words)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_rows"))
+def decode_bulk2_batch(lit_words, rec2_words, meta2, *, interpret=False,
+                       out_rows: int = OUT_ROWS):
+    """Two-block co-scheduled variant: block pairs (2g, 2g+1) share one
+    merged record stream (native.bulk_merge2) and decode together.
+
+    lit_words:  (B, lit_rows, 128) i32, B even — per-block literal planes.
+    rec2_words: (B//2, rec_rows, 128) i32 merged streams per pair.
+    meta2:      (B//2, 8) i32 — bulk_merge2 meta words per pair.
+    Returns (B, out_rows, 128) i32 decoded words.
+    """
+    B, lit_rows, _ = lit_words.shape
+    if B % 2:
+        raise ValueError("decode_bulk2_batch needs an even block count")
+    rec_rows = rec2_words.shape[1]
+    if lit_rows % 8 or rec_rows % 8:
+        raise ValueError("plane rows must be multiples of 8")
+    kernel = functools.partial(_decode_bulk2_kernel, lit_rows=lit_rows,
+                               rec_rows=rec_rows, out_rows=out_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // 2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((TAIL_ROWS + lit_rows + 2, LANES), jnp.int32),
+            pltpu.VMEM((WIN_ROWS + 2, LANES), jnp.int32),
+            pltpu.VMEM((TAIL_ROWS + lit_rows + 2, LANES), jnp.int32),
+            pltpu.VMEM((WIN_ROWS + 2, LANES), jnp.int32),
+            pltpu.SMEM((_REC_SLOTS, 8, LANES), jnp.int32),
+            pltpu.VMEM((_REC_SLOTS * 8, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_REC_SLOTS,)),
+            pltpu.SemaphoreType.DMA((_REC_SLOTS,)),
+        ],
+        interpret=interpret,
+    )(meta2, lit_words, rec2_words)
 
 
 # --- host-side glue ----------------------------------------------------------
@@ -369,6 +527,42 @@ def prep_batch(payloads_ext):
         rec_words[k] = pack_rec_words(rec, rec_rows)
         meta[k] = m.astype(np.int64).astype(np.int32)  # u32 -> i32 bits
     return lit_words, rec_words, meta, sizes
+
+
+def prep_batch2(payloads_ext):
+    """Like prep_batch, but pairs blocks for the co-scheduled kernel.
+
+    Returns (lit_words (B2, LR, 128), rec2_words (B2//2, RR, 128),
+    meta2 (B2//2, 8), sizes) with B2 = len rounded up to even, or None if
+    any block needs the fused-parser fallback.
+    """
+    from ..runtime import native
+
+    preps, sizes = [], []
+    for payload, ext in payloads_ext:
+        r = native.bulk_prep(payload, ext)
+        if r is None:
+            return None
+        preps.append(r)
+        sizes.append(int(r[2][0]))
+    if len(preps) % 2:  # pad with an empty block
+        preps.append((np.zeros(0, np.uint8), np.zeros(0, np.uint32),
+                      np.zeros(8, np.uint32)))
+    B2 = len(preps)
+    merged = [native.bulk_merge2(preps[2 * g][1], preps[2 * g][2],
+                                 preps[2 * g + 1][1], preps[2 * g + 1][2])
+              for g in range(B2 // 2)]
+    lit_rows = max(rows_for_bytes(len(p[0])) for p in preps)
+    rec_rows = max(rows_for_bytes(4 * len(m[0])) for m in merged)
+    lit_words = np.zeros((B2, lit_rows, LANES), np.int32)
+    rec2_words = np.zeros((B2 // 2, rec_rows, LANES), np.int32)
+    meta2 = np.zeros((B2 // 2, 8), np.int32)
+    for k, p in enumerate(preps):
+        lit_words[k] = pack_lit_words(p[0], lit_rows)
+    for gidx, (rec, m2) in enumerate(merged):
+        rec2_words[gidx] = pack_rec_words(rec, rec_rows)
+        meta2[gidx] = m2.astype(np.int64).astype(np.int32)
+    return lit_words, rec2_words, meta2, sizes
 
 
 def decode_bulk_block(payload: bytes, ext: bool, interpret: bool = True):

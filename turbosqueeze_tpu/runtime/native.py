@@ -95,6 +95,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_uint64,
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
     ]
+    lib.tsq_bulk_merge2.restype = ctypes.c_int64
+    lib.tsq_bulk_merge2.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+    ]
     lib.tsq_build_candidates.restype = None
     lib.tsq_build_candidates.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_void_p]
@@ -319,6 +324,30 @@ def bulk_prep(payload: bytes, ext: bool):
     if n < 0:
         raise FormatError(f"bulk prep failed (code {n})")
     return lit[:int(meta[2])], rec[:int(n)], meta
+
+
+def bulk_merge2(rec_a, meta_a, rec_b, meta_b):
+    """Zip two blocks' bulk record streams into the strictly-alternating
+    merged stream for the two-block co-scheduled kernel. Returns
+    (merged u32[], meta2 u32[8])."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    cap = 2 * (len(rec_a) + len(rec_b)) + 4096
+    out = np.empty(cap, dtype=np.uint32)
+    meta2 = np.zeros(8, dtype=np.uint32)
+    rec_a = np.ascontiguousarray(rec_a, dtype=np.uint32)
+    rec_b = np.ascontiguousarray(rec_b, dtype=np.uint32)
+    meta_a = np.ascontiguousarray(meta_a, dtype=np.uint32)
+    meta_b = np.ascontiguousarray(meta_b, dtype=np.uint32)
+    n = lib.tsq_bulk_merge2(rec_a.ctypes.data, meta_a.ctypes.data,
+                            rec_b.ctypes.data, meta_b.ctypes.data,
+                            out.ctypes.data, cap, meta2.ctypes.data)
+    if n < 0:
+        raise RuntimeError(f"bulk merge failed (code {n})")
+    return out[:int(n)], meta2
 
 
 # Per-block progress callback plumbing (the upstream writer thread's
