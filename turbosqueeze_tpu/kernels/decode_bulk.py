@@ -58,7 +58,7 @@ TAIL_BYTES = TAIL_ROWS * ROW_BYTES
 MAX_WIN = 2                                 # 4 MiB block / 2 MiB window
 
 _REC_SLOT_WORDS = 1024                      # ring slot = (8,128) i32
-_REC_SLOTS = 4
+_REC_SLOTS = 8
 # an entry consumes <= 2 + 2*120 words (csrc kBulkMaxEntryRecs); the ring
 # must have this much lookahead beyond the cursor before parsing an entry
 _ENTRY_SLACK = 256
@@ -73,7 +73,7 @@ def _machinery(ring_ref, vring_ref, lit_rows):
     base4 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) * 4
 
     def word(p):
-        return ring_ref[(p >> 10) & 3, (p >> 7) & 7, p & (LANES - 1)]
+        return ring_ref[(p >> 7) & 63, p & (LANES - 1)]
 
     def apply_record(src_ref, w0, w1, acc):
         """Single-record remainder path (entries' count mod 8)."""
@@ -109,9 +109,9 @@ def _machinery(ring_ref, vring_ref, lit_rows):
         """Issue the loads for one gang of 8 same-row records: stream
         params from the VMEM mirror, source rows by scalar-addressed
         slices, the aligned word views by two crossbar takes."""
-        rr = (p >> 7) & 31
+        rr = (p >> 7) & 63
         row_a = vring_ref[pl.ds(rr, 1), :]
-        row_b = vring_ref[pl.ds((rr + 1) & 31, 1), :]
+        row_b = vring_ref[pl.ds((rr + 1) & 63, 1), :]
         a8 = jnp.broadcast_to(row_a, (8, LANES))
         b8 = jnp.broadcast_to(row_b, (8, LANES))
         L = (p & (LANES - 1)) + 2 * row8
@@ -168,12 +168,24 @@ def _machinery(ring_ref, vring_ref, lit_rows):
         182 MB/s — Mosaic spills the carried tiles; cross-gang overlap
         comes from the two-block co-schedule instead.)"""
 
+        def g16(_, c):
+            # two independent gangs per body: the second gang's scalar
+            # loads and crossbar chain overlap the first's fold (Mosaic
+            # schedules within a straight-line span only)
+            p_, a = c
+            st0 = gather8(src_ref, p_)
+            st1 = gather8(src_ref, p_ + 16)
+            a = fold8(st0, a)
+            a = fold8(st1, a)
+            return p_ + 32, a
+
         def g8(_, c):
             p_, a = c
             a = fold8(gather8(src_ref, p_), a)
             return p_ + 16, a
 
-        return jax.lax.fori_loop(0, n8, g8, (p, acc))
+        p, acc = jax.lax.fori_loop(0, n8 >> 1, g16, (p, acc))
+        return jax.lax.fori_loop(0, n8 & 1, g8, (p, acc))
 
     def do_entry(p, u_ref, w_ref):
         """Process one entry at stream position p; returns the new p."""
@@ -228,14 +240,15 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
     # 8-wide vector params, and the vector units cannot read SMEM)
     def ring_copy(s):
         row0 = jnp.minimum(s * 8, rec_rows - 8)
-        return pltpu.make_async_copy(rec_hbm.at[b, pl.ds(row0, 8)],
-                                     ring_ref.at[s & 3], sem_ring.at[s & 3])
+        return pltpu.make_async_copy(
+            rec_hbm.at[b, pl.ds(row0, 8)],
+            ring_ref.at[pl.ds((s & 7) * 8, 8)], sem_ring.at[s & 7])
 
     def vring_copy(s):
         row0 = jnp.minimum(s * 8, rec_rows - 8)
         return pltpu.make_async_copy(
             rec_hbm.at[b, pl.ds(row0, 8)],
-            vring_ref.at[pl.ds((s & 3) * 8, 8)], sem_vring.at[s & 3])
+            vring_ref.at[pl.ds((s & 7) * 8, 8)], sem_vring.at[s & 7])
 
     for s in range(3):
         ring_copy(s).start()
@@ -318,14 +331,15 @@ def _decode_bulk2_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u0_ref, w0_ref,
 
     def ring_copy(s):
         row0 = jnp.minimum(s * 8, rec_rows - 8)
-        return pltpu.make_async_copy(rec_hbm.at[g, pl.ds(row0, 8)],
-                                     ring_ref.at[s & 3], sem_ring.at[s & 3])
+        return pltpu.make_async_copy(
+            rec_hbm.at[g, pl.ds(row0, 8)],
+            ring_ref.at[pl.ds((s & 7) * 8, 8)], sem_ring.at[s & 7])
 
     def vring_copy(s):
         row0 = jnp.minimum(s * 8, rec_rows - 8)
         return pltpu.make_async_copy(
             rec_hbm.at[g, pl.ds(row0, 8)],
-            vring_ref.at[pl.ds((s & 3) * 8, 8)], sem_vring.at[s & 3])
+            vring_ref.at[pl.ds((s & 7) * 8, 8)], sem_vring.at[s & 7])
 
     for s in range(3):
         ring_copy(s).start()
@@ -425,7 +439,7 @@ def decode_bulk_batch(lit_words, rec_words, meta, *, interpret=False,
         scratch_shapes=[
             pltpu.VMEM((TAIL_ROWS + lit_rows + 2, LANES), jnp.int32),
             pltpu.VMEM((WIN_ROWS + 2, LANES), jnp.int32),
-            pltpu.SMEM((_REC_SLOTS, 8, LANES), jnp.int32),
+            pltpu.SMEM((_REC_SLOTS * 8, LANES), jnp.int32),
             pltpu.VMEM((_REC_SLOTS * 8, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -470,7 +484,7 @@ def decode_bulk2_batch(lit_words, rec2_words, meta2, *, interpret=False,
             pltpu.VMEM((WIN_ROWS + 2, LANES), jnp.int32),
             pltpu.VMEM((TAIL_ROWS + lit_rows + 2, LANES), jnp.int32),
             pltpu.VMEM((WIN_ROWS + 2, LANES), jnp.int32),
-            pltpu.SMEM((_REC_SLOTS, 8, LANES), jnp.int32),
+            pltpu.SMEM((_REC_SLOTS * 8, LANES), jnp.int32),
             pltpu.VMEM((_REC_SLOTS * 8, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
