@@ -88,6 +88,96 @@ def _lsr(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
+# --- shared scalar machinery builders (used here and by encode_bulk) --------
+
+def make_input_reader(sin):
+    """Unaligned scalar 32/64-bit loads over the input SMEM ring (ring-wrap
+    per word; residency is the caller's invariant, module docstring)."""
+    _IN_WORDS = _IN_RING_BYTES // 4
+
+    def in_word(wi):
+        wi = wi & (_IN_WORDS - 1)
+        return sin[wi >> 7, wi & (LANES - 1)]
+
+    def load32(p):
+        wi = p >> 2
+        w0 = in_word(wi)
+        w1 = in_word(wi + 1)
+        sh = (p & 3) * 8
+        return jnp.where(sh == 0, w0,
+                         _lsr(w0, sh) | (w1 << (32 - jnp.maximum(sh, 8))))
+
+    def load64(p):
+        wi = p >> 2
+        w0 = in_word(wi)
+        w1 = in_word(wi + 1)
+        w2 = in_word(wi + 2)
+        sh = (p & 3) * 8
+        ish = 32 - jnp.maximum(sh, 8)
+        lo = jnp.where(sh == 0, w0, _lsr(w0, sh) | (w1 << ish))
+        hi = jnp.where(sh == 0, w1, _lsr(w1, sh) | (w2 << ish))
+        return lo, hi
+
+    return in_word, load32, load64
+
+
+def _tzb32(w):
+    return jnp.where(w & 0xFF, 0,
+                     jnp.where(w & 0xFFFF, 1,
+                               jnp.where(w & 0xFFFFFF, 2,
+                                         jnp.where(w, 3, 4))))
+
+
+def make_extend(load64, ext):
+    """Common-prefix length with format caps (csrc extend_match)."""
+    def tz8(lo, hi):
+        t = _tzb32(lo)
+        return jnp.where(t < 4, t, 4 + _tzb32(hi))
+
+    def xor_tz(a, c):
+        alo, ahi = load64(a)
+        blo, bhi = load64(c)
+        return tz8(alo ^ blo, ahi ^ bhi)
+
+    def extend(i, pos, anchor):
+        k = xor_tz(i, pos)
+        if ext:
+            def ecxt(st):
+                k_, m_ = st
+                return jnp.logical_and(k_ == 8 * m_,
+                                       jnp.logical_and(k_ < 64, m_ < 8))
+
+            def ebody(st):
+                k_, m_ = st
+                nb = xor_tz(i + 8 * m_, pos + 8 * m_)
+                return k_ + nb, m_ + 1
+
+            k, _ = jax.lax.while_loop(ecxt, ebody, (k, jnp.int32(1)))
+        else:
+            k = jnp.where(k == 8, k + xor_tz(i + 8, pos + 8), k)
+        window = anchor - pos
+        return jnp.where(k > window, window - 1, k)
+
+    return extend
+
+
+def make_usable(cand_at):
+    """Nearest chain entry p with p + 4 <= anchor (csrc usable_candidate);
+    _NONE when absent/unrepresentable. Chain reads only touch positions in
+    (anchor-4, i] — inside the cand ring."""
+    def usable(i, anchor):
+        p = cand_at(i)
+
+        def wcond(p_):
+            return jnp.logical_and(p_ >= 0, p_ + 4 > anchor)
+
+        p = jax.lax.while_loop(wcond, lambda p_: cand_at(p_), p)
+        bad = jnp.logical_or(p < 0, anchor - p > 65534)
+        return jnp.where(bad, jnp.int32(_NONE), p)
+
+    return usable
+
+
 def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
                  sin, scand, sout, sem_i, sem_c, sem_o, *, ext,
                  matcher="cand"):
@@ -163,30 +253,7 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
         jax.lax.fori_loop(0, (HASH_MASK + 1) // 2, zrow, 0)
 
     # --- scalar ring accessors ---------------------------------------------
-    _IN_WORDS = _IN_RING_BYTES // 4
-
-    def in_word(wi):
-        wi = wi & (_IN_WORDS - 1)   # ring-wrap per word (see module doc)
-        return sin[wi >> 7, wi & (LANES - 1)]
-
-    def load32(p):
-        wi = p >> 2
-        w0 = in_word(wi)
-        w1 = in_word(wi + 1)
-        sh = (p & 3) * 8
-        return jnp.where(sh == 0, w0,
-                         _lsr(w0, sh) | (w1 << (32 - jnp.maximum(sh, 8))))
-
-    def load64(p):
-        wi = p >> 2
-        w0 = in_word(wi)
-        w1 = in_word(wi + 1)
-        w2 = in_word(wi + 2)
-        sh = (p & 3) * 8
-        ish = 32 - jnp.maximum(sh, 8)
-        lo = jnp.where(sh == 0, w0, _lsr(w0, sh) | (w1 << ish))
-        hi = jnp.where(sh == 0, w1, _lsr(w1, sh) | (w2 << ish))
-        return lo, hi
+    in_word, load32, load64 = make_input_reader(sin)
 
     def cand_at(p):
         e = p & (_CAND_RING - 1)
@@ -209,53 +276,8 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
         sout[wi >> 7, wi & (LANES - 1)] = (cur & keep_mask) | val
 
     # --- format helpers -----------------------------------------------------
-    def tzb32(w):
-        return jnp.where(w & 0xFF, 0,
-                         jnp.where(w & 0xFFFF, 1,
-                                   jnp.where(w & 0xFFFFFF, 2,
-                                             jnp.where(w, 3, 4))))
-
-    def tz8(lo, hi):
-        t = tzb32(lo)
-        return jnp.where(t < 4, t, 4 + tzb32(hi))
-
-    def xor_tz(a, c):
-        alo, ahi = load64(a)
-        blo, bhi = load64(c)
-        return tz8(alo ^ blo, ahi ^ bhi)
-
-    def extend(i, pos, anchor):
-        """Common-prefix length, format caps applied (csrc extend_match)."""
-        k = xor_tz(i, pos)
-        if ext:
-            def ecxt(st):
-                k_, m_ = st
-                return jnp.logical_and(k_ == 8 * m_,
-                                       jnp.logical_and(k_ < 64, m_ < 8))
-
-            def ebody(st):
-                k_, m_ = st
-                nb = xor_tz(i + 8 * m_, pos + 8 * m_)
-                return k_ + nb, m_ + 1
-
-            k, _ = jax.lax.while_loop(ecxt, ebody, (k, jnp.int32(1)))
-        else:
-            k = jnp.where(k == 8, k + xor_tz(i + 8, pos + 8), k)
-        window = anchor - pos
-        return jnp.where(k > window, window - 1, k)
-
-    def usable(i, anchor):
-        """Nearest chain entry p with p + 4 <= anchor (csrc
-        usable_candidate); _NONE when absent/unrepresentable. Chain reads
-        only touch positions in (anchor-4, i] — inside the cand ring."""
-        p = cand_at(i)
-
-        def wcond(p_):
-            return jnp.logical_and(p_ >= 0, p_ + 4 > anchor)
-
-        p = jax.lax.while_loop(wcond, lambda p_: cand_at(p_), p)
-        bad = jnp.logical_or(p < 0, anchor - p > 65534)
-        return jnp.where(bad, jnp.int32(_NONE), p)
+    extend = make_extend(load64, ext)
+    usable = make_usable(cand_at)
 
     def probe(i):
         """Exact upstream hash probe: 16-bit stored position promoted into
