@@ -114,8 +114,10 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream") -> float:
 
     kernel 'stream': the fused parser (raw payload -> bytes,
     kernels/decode_stream.py); 'bulk': the wave-free record-stream kernel
-    (host resolver + kernels/decode_bulk.py). Every block of every timed
-    batch shape is verified bit-exact before timing.
+    (host resolver + kernels/decode_bulk.py); 'bulk2': its two-block
+    co-scheduled variant (merged record streams hide the per-gang
+    dependence chain). Every block of every timed batch shape is
+    verified bit-exact before timing.
 
     Per-call timings through a tunneled runtime carry a large fixed
     dispatch/sync overhead (and async timings without a real result fetch
@@ -140,9 +142,24 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream") -> float:
         planes = DB.prep_batch(blocks)
         assert planes is not None, "bulk prep fell back on bench corpus"
         lit_words, rec_words, meta, _ = planes
+    elif kernel == "bulk2":
+        planes = DB.prep_batch2(blocks)
+        assert planes is not None, "bulk prep fell back on bench corpus"
+        lit_words, rec_words, meta, _ = planes
+        n_src = (n_src // 2) * 2 or 2  # co-scheduled pairs
 
     def make_args(B):
-        if kernel == "bulk":
+        if kernel == "bulk2":
+            lw = np.zeros((B,) + lit_words.shape[1:], np.int32)
+            rw = np.zeros((B // 2,) + rec_words.shape[1:], np.int32)
+            mt = np.zeros((B // 2, 8), np.int32)
+            for b in range(B):
+                lw[b] = lit_words[b % n_src]
+            for g in range(B // 2):
+                rw[g] = rec_words[g % (n_src // 2)]
+                mt[g] = meta[g % (n_src // 2)]
+            args = [jax.device_put(x) for x in (lw, rw, mt)]
+        elif kernel == "bulk":
             lw = np.zeros((B,) + lit_words.shape[1:], np.int32)
             rw = np.zeros((B,) + rec_words.shape[1:], np.int32)
             mt = np.zeros((B, 8), np.int32)
@@ -166,9 +183,13 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream") -> float:
     def run(args):
         if kernel == "bulk":
             return DB.decode_bulk_batch(*args)
+        if kernel == "bulk2":
+            return DB.decode_bulk2_batch(*args)
         return DS.decode_stream_batch(*args)
 
     def timed(B, reps=3):
+        if kernel == "bulk2":
+            B = max(2, (B // 2) * 2)
         args, sz = make_args(B)
         host = np.asarray(run(args))
         for b in range(B):  # verify EVERY timed block, repeats included
@@ -183,12 +204,30 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream") -> float:
         return (time.perf_counter() - t0) / reps, sz
 
     t0 = time.time()
-    t1, sz1 = timed(1)
+    t1, sz1 = timed(2 if kernel == "bulk2" else 1)
     log(f"tpu[{kernel}]: kernel compile+verify {time.time() - t0:.0f}s")
     b2 = min(16, max(2, n_src))
     t2, sz2 = timed(b2)
     per_byte = (t2 - t1) / (sz2 - sz1)
     return 1e-6 / per_byte
+
+
+def tpu_reachable(timeout_s: int = 900) -> bool:
+    """Probe the TPU backend in a SUBPROCESS with a hard timeout: a hung
+    device tunnel otherwise hangs jax.devices() (and this bench) forever.
+    The probe claims and releases the device; the parent re-claims after."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0 and "tpu" in r.stdout
+    except subprocess.TimeoutExpired:
+        log(f"tpu probe timed out after {timeout_s}s (tunnel down/hung)")
+        return False
+    except Exception as e:
+        log(f"tpu probe failed: {e}")
+        return False
 
 
 def ratio_sweep(native, harness, tmpdir):
@@ -297,12 +336,12 @@ def main():
     # sessions (BASELINE.md), so a single-kernel number is a coin flip.
     tpu = {}
     e2e_mbps = None
-    if os.environ.get("TSQ_BENCH_TPU", "1") != "0":
+    if os.environ.get("TSQ_BENCH_TPU", "1") != "0" and tpu_reachable():
         try:
             import jax
 
             if jax.devices()[0].platform == "tpu":
-                for kernel in ("bulk", "stream"):
+                for kernel in ("bulk2", "bulk", "stream"):
                     try:
                         tpu[kernel] = bench_tpu_kernel(data, native, kernel)
                         log(f"tpu: on-chip {kernel} decode "

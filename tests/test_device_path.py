@@ -132,6 +132,32 @@ def test_tpu_backend_via_api():
     assert decompress(stream, backend="native") == data
 
 
+@pytest.mark.parametrize("emit_impl", ["bulk", "scan"])
+def test_pipeline_device_emission_forced(monkeypatch, emit_impl):
+    """Full pipeline.compress with on-chip emission (normally TPU-gated)
+    forced onto the CPU mesh in interpret mode: the container must be
+    byte-identical to the host level-1 path for both device emitters.
+    One sub-BLOCK_SZ block keeps interpret-mode scan time bounded."""
+    from turbosqueeze_tpu.runtime import native
+
+    monkeypatch.setenv("TSQ_FORCE_DEVICE_EMIT", "1")
+    data = synthetic_text(120_000, seed=83) + bytes(6_000)
+    stream = pipeline.compress(data, ext=True, emit_impl=emit_impl)
+    assert stream == native.compress(data, True, level=1)
+    assert pipeline.decompress(stream) == data
+
+
+def test_pipeline_device_emission_forced_dict(monkeypatch):
+    from turbosqueeze_tpu.runtime import native
+
+    monkeypatch.setenv("TSQ_FORCE_DEVICE_EMIT", "1")
+    d = synthetic_text(50_000, seed=84)
+    data = synthetic_text(80_000, seed=85)
+    stream = pipeline.compress(data, ext=True, dictionary=d)
+    assert stream == native.compress_dict(data, d, True, level=1)
+    assert pipeline.decompress(stream, dictionary=d) == data
+
+
 def test_decompress_to_words_stays_sharded():
     """Decoded words keep the block sharding (device-resident consumers)."""
     data = synthetic_text(8 * (1 << 22), seed=41)

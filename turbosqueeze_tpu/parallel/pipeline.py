@@ -21,6 +21,7 @@ reference's lossy hash table in practice (see bench).
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -40,6 +41,7 @@ from ..kernels import decode_bulk as DBK
 from ..kernels import decode_stream as DST
 from ..kernels import decode_tokens as DK
 from ..kernels import decode_xla as DXL
+from ..kernels import encode_bulk as EB
 from ..kernels import encode_emit as EE
 from ..kernels import encode_xla
 from . import mesh as mesh_mod
@@ -101,6 +103,63 @@ def _sharded_emit(mesh: Mesh, ext: bool):
         c = jnp.pad(cand, ((0, 0), (0, EE.CAND_ROWS * 128 - BLOCK_SZ)),
                     constant_values=-1).reshape(B, EE.CAND_ROWS, 128)
         return EE.emit_batch(w, c, meta, ext=ext, interpret=interp)
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_emit_bulk(mesh: Mesh, ext: bool):
+    """Two-pass device emission (kernels/encode_bulk): scalar decisions +
+    gang-machinery assembly. Same byte contract as _sharded_emit; rows
+    with osz[:, 2] != 0 overflowed the record/side planes and take the
+    host fallback in compress()."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+    interp = jax.default_backend() == "cpu"
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec),
+                       out_specs=(spec, spec), check_vma=False)
+    def run(batch_u8, cand, meta):
+        B = batch_u8.shape[0]
+        x = batch_u8.reshape(B, -1, 4).astype(jnp.int32)
+        w = (x[..., 0] | (x[..., 1] << 8) | (x[..., 2] << 16)
+             | (x[..., 3] << 24))
+        rows = BLOCK_SZ // (128 * 4)
+        w = jnp.pad(w.reshape(B, rows, 128),
+                    ((0, 0), (0, EE.IN_ROWS - rows), (0, 0)))
+        c = jnp.pad(cand, ((0, 0), (0, EE.CAND_ROWS * 128 - BLOCK_SZ)),
+                    constant_values=-1).reshape(B, EE.CAND_ROWS, 128)
+        return EB.emit_bulk_batch(w, c, meta, ext=ext, interpret=interp)
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_emit_bulk_dict(mesh: Mesh, ext: bool):
+    """Dictionary variant of the two-pass emission: input is
+    concat(replicated dict, block); meta carries the block's base."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+    interp = jax.default_backend() == "cpu"
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), spec, spec, spec),
+                       out_specs=(spec, spec), check_vma=False)
+    def run(dict_u8, batch_u8, cand, meta):
+        B = batch_u8.shape[0]
+        dl = dict_u8.shape[0]
+        concat = jnp.concatenate(
+            [jnp.broadcast_to(dict_u8, (B, dl)), batch_u8], axis=1)
+        total = EE.IN_ROWS * 128 * 4
+        concat = jnp.pad(concat, ((0, 0), (0, total - concat.shape[1])))
+        x = concat.reshape(B, -1, 4).astype(jnp.int32)
+        w = (x[..., 0] | (x[..., 1] << 8) | (x[..., 2] << 16)
+             | (x[..., 3] << 24)).reshape(B, EE.IN_ROWS, 128)
+        c = jnp.pad(cand,
+                    ((0, 0), (0, EE.CAND_ROWS * 128 - cand.shape[1])),
+                    constant_values=-1).reshape(B, EE.CAND_ROWS, 128)
+        return EB.emit_bulk_batch(w, c, meta, ext=ext, interpret=interp)
 
     return run
 
@@ -771,7 +830,8 @@ def decompress_to_file(stream: bytes, out_path, mesh: Optional[Mesh] = None,
 
 def compress(data: bytes, ext: bool = True, level: int = 1,
              mesh: Optional[Mesh] = None,
-             dictionary: Optional[bytes] = None, progress=None) -> bytes:
+             dictionary: Optional[bytes] = None, progress=None,
+             emit_impl: str = "bulk") -> bytes:
     """Device candidate search + host emission -> .tsq container.
 
     The device path is the candidate parse: ``level`` <= 1 selects the
@@ -779,6 +839,11 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
     (same device phase A, better ratio). With ``dictionary`` the shared
     context is broadcast (replicated) across the mesh and every block's
     search runs over concat(dict, block).
+
+    ``emit_impl`` picks the on-chip level-1 emitter: 'bulk' (default,
+    two-pass decide+assemble, kernels/encode_bulk) or 'scan' (single-pass
+    scalar kernel, kernels/encode_emit); level 0 always uses the in-kernel
+    hash-table scan (the upstream's exact byte contract needs it).
     """
     from ..runtime import native
 
@@ -800,7 +865,9 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
     # device-resident emission (phase B on-chip, kernels/encode_emit.py)
     # covers the greedy candidate parse, with or without a dictionary; the
     # lazy level>=2 parse emits on host from the same device candidates
-    dev_emit = level <= 1 and jax.default_backend() == "tpu"
+    dev_emit = level <= 1 and (
+        jax.default_backend() == "tpu"
+        or os.environ.get("TSQ_FORCE_DEVICE_EMIT") == "1")
 
     parts = [ContainerHeader(len(blocks), len(data)).pack()]
     sharding = mesh_mod.block_sharding(mesh)
@@ -824,30 +891,50 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
             for b, blk in enumerate(win):
                 meta[b, 0] = len(blk)
                 meta[b, 1] = dlen
+            bulk = emit_impl == "bulk" and level == 1
+            cands = None
             if dictionary is not None:
                 cands = _sharded_candidates_dict(mesh)(dict_dev, dev_batch)
-                words, osz = _sharded_emit_dict(mesh, ext)(
-                    dict_dev, dev_batch, cands,
-                    _device_put(meta, sharding))
+                emitter = (_sharded_emit_bulk_dict if bulk
+                           else _sharded_emit_dict)(mesh, ext)
+                words, osz = emitter(dict_dev, dev_batch, cands,
+                                     _device_put(meta, sharding))
             elif level == 0:
                 # upstream-identical parse entirely on-chip: no phase A
                 words, osz = _sharded_emit0(mesh, ext)(
                     dev_batch, _device_put(meta, sharding))
             else:
                 cands = _sharded_candidates(mesh)(dev_batch)
-                words, osz = _sharded_emit(mesh, ext)(
-                    dev_batch, cands, _device_put(meta, sharding))
+                emitter = (_sharded_emit_bulk if bulk
+                           else _sharded_emit)(mesh, ext)
+                words, osz = emitter(dev_batch, cands,
+                                     _device_put(meta, sharding))
             osz_host = _to_host(osz)
             # gather only the live payload rows (the capacity is ~5.25 MiB
             # per block; at typical ratios the live prefix is half that —
             # this is the bulk cross-DCN traffic on multi-host meshes)
             max_psz = int(osz_host[:len(win), 0].max())
             max_rows = -(-(max_psz + 16) // 512)
-            max_rows = max(8, min(EE.OUT_ROWS, -(-max_rows // 8) * 8))
+            cap_rows = EB.OUT_ROWS_BULK if bulk else EE.OUT_ROWS
+            max_rows = max(8, min(cap_rows, -(-max_rows // 8) * 8))
             words_host = _to_host(words[:, :max_rows])
             for b in range(len(win)):
                 psz = int(osz_host[b, 0])
-                payload = EE.payload_from_words(words_host[b], psz)
+                if bulk and int(osz_host[b, 2]) != 0:
+                    # record/side-plane overflow (pathological symbol
+                    # mix): host emission from the device candidates
+                    cand_row = _to_host(cands[b])
+                    blk = win[b]
+                    if dictionary is not None:
+                        payload = native.encode_block_dict(
+                            blk, dictionary, cand_row[:dlen + len(blk)],
+                            ext, level=level)
+                    else:
+                        payload = native.encode_block_candidates(
+                            blk, cand_row[:len(blk)], ext, level=level)
+                    psz = len(payload)
+                else:
+                    payload = EE.payload_from_words(words_host[b], psz)
                 parts.append(pack_block_header(psz, ext))
                 parts.append(payload)
                 if progress is not None:  # per-block writer cadence
