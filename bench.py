@@ -212,6 +212,74 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream") -> float:
     return 1e-6 / per_byte
 
 
+def bench_tpu_encode(data: bytes, native) -> float:
+    """Device-resident compress throughput (MB/s/chip), batch-slope.
+
+    Measures the full on-chip chain — phase-A candidate search
+    (kernels/encode_xla) + two-pass bulk emission (kernels/encode_bulk) —
+    and verifies every distinct block byte-identical to the host level-1
+    emission before timing (upstream hot loop tsq_encode.cpp:216-326)."""
+    import jax
+    import jax.numpy as jnp
+
+    from turbosqueeze_tpu.kernels import encode_bulk as EB
+    from turbosqueeze_tpu.kernels import encode_emit as EE
+    from turbosqueeze_tpu.kernels import encode_xla
+
+    blocks = [data[o:o + (1 << 22)]
+              for o in range(0, min(len(data), 16 << 22), 1 << 22)]
+    n_src = len(blocks)
+    wants = [native.encode_block_candidates(
+        blk, native.build_candidates(blk), True, level=1)
+        for blk in blocks]
+
+    @jax.jit
+    def full(batch_u8, meta):
+        cand = encode_xla.find_candidates(batch_u8)
+        B = batch_u8.shape[0]
+        x = batch_u8.reshape(B, -1, 4).astype(jnp.int32)
+        w = (x[..., 0] | (x[..., 1] << 8) | (x[..., 2] << 16)
+             | (x[..., 3] << 24))
+        rows = (1 << 22) // 512
+        w = jnp.pad(w.reshape(B, rows, 128),
+                    ((0, 0), (0, EE.IN_ROWS - rows), (0, 0)))
+        c = jnp.pad(cand, ((0, 0), (0, EE.CAND_ROWS * 128 - (1 << 22))),
+                    constant_values=-1).reshape(B, EE.CAND_ROWS, 128)
+        return EB.emit_bulk_batch(w, c, meta, ext=True)
+
+    def make_args(B):
+        u8 = np.zeros((B, 1 << 22), np.uint8)
+        meta = np.zeros((B, 8), np.int32)
+        for b in range(B):
+            blk = blocks[b % n_src]
+            u8[b, :len(blk)] = np.frombuffer(blk, np.uint8)
+            meta[b, 0] = len(blk)
+        return ([jax.device_put(u8), jax.device_put(meta)],
+                sum(len(blocks[b % n_src]) for b in range(B)))
+
+    def timed(B, reps=3):
+        args, sz = make_args(B)
+        words, osz = full(*args)
+        words, osz = np.asarray(words), np.asarray(osz)
+        for b in range(B):  # verify EVERY timed block, repeats included
+            assert int(osz[b, 2]) == 0, f"emit overflow on block {b}"
+            got = EE.payload_from_words(words[b], int(osz[b, 0]))
+            assert got == wants[b % n_src], \
+                f"device emit mismatch on block {b}"
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r, _o = full(*args)
+            np.asarray(jax.device_get(jnp.reshape(r, (-1,))[:1]))
+        return (time.perf_counter() - t0) / reps, sz
+
+    t0 = time.time()
+    t1, sz1 = timed(1)
+    log(f"tpu[encode]: kernel compile+verify {time.time() - t0:.0f}s")
+    t2, sz2 = timed(min(8, max(2, n_src)))
+    per_byte = (t2 - t1) / (sz2 - sz1)
+    return 1e-6 / per_byte
+
+
 def tpu_reachable(timeout_s: int = 900) -> bool:
     """Probe the TPU backend in a SUBPROCESS with a hard timeout: a hung
     device tunnel otherwise hangs jax.devices() (and this bench) forever.
@@ -336,6 +404,7 @@ def main():
     # sessions (BASELINE.md), so a single-kernel number is a coin flip.
     tpu = {}
     e2e_mbps = None
+    tpu_enc = None
     if os.environ.get("TSQ_BENCH_TPU", "1") != "0" and tpu_reachable():
         try:
             import jax
@@ -348,6 +417,12 @@ def main():
                             f"{tpu[kernel]:.0f} MB/s/chip")
                     except Exception as e:
                         log(f"tpu {kernel} kernel bench failed: {e}")
+                try:
+                    tpu_enc = bench_tpu_encode(data, native)
+                    log(f"tpu: device-resident compress (phaseA+bulk emit) "
+                        f"{tpu_enc:.0f} MB/s/chip")
+                except Exception as e:
+                    log(f"tpu encode bench failed: {e}")
                 # e2e production path once, for the round-over-round trend
                 # (tunnel/host-bound on this box; labeled as such)
                 try:
@@ -376,6 +451,8 @@ def main():
         extras = {f"kernel_{k}_mbps": round(v, 1) for k, v in tpu.items()}
         if e2e_mbps is not None:
             extras["e2e_decompress_mbps_tunnelbound"] = round(e2e_mbps, 1)
+        if tpu_enc is not None:
+            extras["device_compress_mbps"] = round(tpu_enc, 1)
         extras["host_mt_decode_mbps"] = round(dec_mbps, 1)
         extras["host_mt_encode_mbps"] = round(enc_mbps, 1)
         print(json.dumps({

@@ -147,3 +147,13 @@ def test_pipeline_impl_bulk_multiblock():
     data = synthetic_text(2 * (1 << 22) + 54321, seed=17)
     stream = native.compress(data, True, level=1)
     assert pipeline.decompress(stream, impl="bulk") == data
+
+
+def test_pipeline_impl_bulk2_multiblock():
+    """Co-scheduled pair kernel through the public pipeline: odd block
+    count (pair padding) and a ragged tail block."""
+    from turbosqueeze_tpu.runtime import native
+
+    data = synthetic_text(2 * (1 << 22) + 54321, seed=18)
+    stream = native.compress(data, True, level=1)
+    assert pipeline.decompress(stream, impl="bulk2") == data

@@ -59,6 +59,23 @@ def test_fused_decode_compiled(tpu):
     assert got == data
 
 
+def test_emit_bulk_compiled(tpu):
+    """The two-pass bulk emitter (decide + gang assembly) compiled via
+    Mosaic must stay byte-identical to the host level-1 emission."""
+    from turbosqueeze_tpu.kernels import encode_bulk as EB
+    from turbosqueeze_tpu.runtime import native
+    from turbosqueeze_tpu.utils.corpus import synthetic_text
+
+    if not native.available():
+        pytest.skip("native core not built")
+    blk = synthetic_text(64 * 1024, seed=11) + bytes(2_000)
+    cand = native.build_candidates(blk)
+    want = native.encode_block_candidates(blk, cand, True, level=1)
+    got, ovf = EB.emit_bulk_block(blk, cand, ext=True, interpret=False)
+    assert ovf == 0
+    assert got == want
+
+
 def test_emit_table_compiled(tpu):
     """Level-0 on-chip parse (matcher='table') compiled via Mosaic must be
     byte-identical to the native level-0 block payload (the upstream

@@ -525,11 +525,33 @@ def _sharded_decode_bulk(mesh: Mesh, lit_rows: int, rec_rows: int):
     return run
 
 
-def _decode_window_bulk(stream, table_window, mesh: Mesh) -> List[bytes]:
+@functools.lru_cache(maxsize=8)
+def _sharded_decode_bulk2(mesh: Mesh, lit_rows: int, rec_rows: int):
+    """Pair variant: block pairs (2g, 2g+1) decode co-scheduled against a
+    merged record stream. B is a multiple of 2*n_dev so every pair is
+    device-local (lit sharded B-ways, rec/meta sharded B/2-ways)."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec), out_specs=spec,
+                       check_vma=False)
+    def run(lit_words, rec2_words, meta2):
+        interp = jax.default_backend() == "cpu"
+        return DBK.decode_bulk2_batch(lit_words, rec2_words, meta2,
+                                      interpret=interp)
+
+    return run
+
+
+def _decode_window_bulk(stream, table_window, mesh: Mesh,
+                        pair: bool = False) -> List[bytes]:
     """Decode one window of blocks via the bulk path: host C++ resolver
     (native.bulk_prep, GB/s-class token work) feeding the wave-free
-    record-stream kernel. Blocks the resolver rejects (pathologically
-    fragmented streams) fall back to the fused on-chip parser."""
+    record-stream kernel — per-block, or two-block co-scheduled when
+    ``pair`` (merged record streams hide the per-gang dependence chain).
+    Blocks the resolver rejects (pathologically fragmented streams) fall
+    back to the fused on-chip parser."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ..runtime import native
@@ -538,7 +560,8 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh) -> List[bytes]:
         return _decode_window_stream(stream, table_window, mesh, None)
     n = len(table_window)
     n_dev = mesh.devices.size
-    B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+    gran = 2 * n_dev if pair else n_dev  # pairs must be device-local
+    B = max(-(-n // gran) * gran, gran)
 
     def prep(entry):
         off, psz, ext = entry
@@ -552,12 +575,7 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh) -> List[bytes]:
     # bucket plane rows across the batch (recompile-bounded)
     lit_rows = _round_up(max(
         DBK.rows_for_bytes(len(r[0])) for r in preps), 64)
-    rec_rows = _round_up(max(
-        DBK.rows_for_bytes(4 * len(r[1])) for r in preps), 512)
     sizes = [int(r[2][0]) for r in preps]
-    meta = np.zeros((B, 8), dtype=np.int32)
-    for b, r in enumerate(preps):
-        meta[b] = r[2].astype(np.int64).astype(np.int32)
 
     def pack_lit(lo, hi):
         out = np.zeros((hi - lo, lit_rows, DK.LANES), np.int32)
@@ -565,19 +583,53 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh) -> List[bytes]:
             out[b - lo] = DBK.pack_lit_words(preps[b][0], lit_rows)
         return out
 
-    def pack_rec(lo, hi):
-        out = np.zeros((hi - lo, rec_rows, DK.LANES), np.int32)
-        for b in range(lo, min(hi, n)):
-            out[b - lo] = DBK.pack_rec_words(preps[b][1], rec_rows)
-        return out
-
     sharding = mesh_mod.block_sharding(mesh)
-    host = _to_host0(_sharded_decode_bulk(mesh, lit_rows, rec_rows)(
-        _device_put_rows((B, lit_rows, DK.LANES), np.int32, sharding,
-                         pack_lit),
-        _device_put_rows((B, rec_rows, DK.LANES), np.int32, sharding,
-                         pack_rec),
-        _device_put(meta, sharding)))
+    lit_dev = _device_put_rows((B, lit_rows, DK.LANES), np.int32, sharding,
+                               pack_lit)
+
+    if pair:
+        empty = (np.zeros(0, np.uint8), np.zeros(0, np.uint32),
+                 np.zeros(8, np.uint32))
+        padded = preps + [empty] * (B - n)
+        merged = [native.bulk_merge2(padded[2 * g][1], padded[2 * g][2],
+                                     padded[2 * g + 1][1],
+                                     padded[2 * g + 1][2])
+                  for g in range(B // 2)]
+        rec_rows = _round_up(max(
+            DBK.rows_for_bytes(4 * len(m[0])) for m in merged), 512)
+        meta2 = np.zeros((B // 2, 8), dtype=np.int32)
+        for g, (_rec, m2) in enumerate(merged):
+            meta2[g] = m2.astype(np.int64).astype(np.int32)
+
+        def pack_rec2(lo, hi):
+            out = np.zeros((hi - lo, rec_rows, DK.LANES), np.int32)
+            for g in range(lo, hi):
+                out[g - lo] = DBK.pack_rec_words(merged[g][0], rec_rows)
+            return out
+
+        host = _to_host0(_sharded_decode_bulk2(mesh, lit_rows, rec_rows)(
+            lit_dev,
+            _device_put_rows((B // 2, rec_rows, DK.LANES), np.int32,
+                             sharding, pack_rec2),
+            _device_put(meta2, sharding)))
+    else:
+        rec_rows = _round_up(max(
+            DBK.rows_for_bytes(4 * len(r[1])) for r in preps), 512)
+        meta = np.zeros((B, 8), dtype=np.int32)
+        for b, r in enumerate(preps):
+            meta[b] = r[2].astype(np.int64).astype(np.int32)
+
+        def pack_rec(lo, hi):
+            out = np.zeros((hi - lo, rec_rows, DK.LANES), np.int32)
+            for b in range(lo, min(hi, n)):
+                out[b - lo] = DBK.pack_rec_words(preps[b][1], rec_rows)
+            return out
+
+        host = _to_host0(_sharded_decode_bulk(mesh, lit_rows, rec_rows)(
+            lit_dev,
+            _device_put_rows((B, rec_rows, DK.LANES), np.int32, sharding,
+                             pack_rec),
+            _device_put(meta, sharding)))
     if host is None:  # nonzero process: host 0 holds the output
         return [b""] * n
     return [host[b].reshape(-1).view("<u1")[:sizes[b]].tobytes()
@@ -644,7 +696,9 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     """Full device decode -> ordered host assembly (the writer-thread role).
 
     impl: 'bulk' = host C++ resolver + wave-free record-stream kernel
-    (kernels/decode_bulk.py — no on-chip parse, no RMW chains);
+    (kernels/decode_bulk.py — no on-chip parse, no RMW chains); 'bulk2' =
+    its two-block co-scheduled variant (merged record streams, the
+    fastest measured kernel — pairs decode together on each device);
     'stream' = the fused on-chip parser (raw payload is the only device
     input — phase A AND B on chip);
     'pallas' = the token-chunk kernel (host tokenize + on-chip byte
@@ -681,9 +735,10 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
         win = table[lo:lo + window_blocks]
         if not win:
             continue
-        if impl == "bulk" and dictionary is None:
-            blocks_out = _decode_window_bulk(stream, win, mesh)
-        elif impl in ("stream", "bulk"):
+        if impl in ("bulk", "bulk2") and dictionary is None:
+            blocks_out = _decode_window_bulk(stream, win, mesh,
+                                             pair=impl == "bulk2")
+        elif impl in ("stream", "bulk", "bulk2"):
             # bulk with a dictionary rides the fused parser (the preset
             # context is staged on-device there)
             blocks_out = _decode_window_stream(stream, win, mesh,
