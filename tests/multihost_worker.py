@@ -50,6 +50,20 @@ def main():
     # (Every rank needs the plaintext input; rank 1's memory-path result
     # is empty by contract, so both read the per-host file.)
     data = open(out_path + ".perhost", "rb").read()
+    # bulk path across processes: the host resolver runs SHARD-LOCALLY
+    # (each process preps only its own blocks; plane shapes agreed by one
+    # scalar allgather), pair kernel included. Small slice bounds the
+    # interpret-mode cost.
+    from turbosqueeze_tpu.runtime import native as native_mod
+
+    sub = data[:600_000]
+    substream = native_mod.compress(sub, True, level=1)
+    for impl in ("bulk", "bulk2"):
+        got = pipeline.decompress(substream, impl=impl)
+        if jax.process_index() == 0:
+            assert got == sub, f"multi-process {impl} decode mismatch"
+        else:
+            assert got == b"", "nonzero rank must not hold bulk output"
     restream = pipeline.compress(data, ext=True, level=1)
     if jax.process_index() == 0:
         with open(out_path + ".tsq2", "wb") as f:

@@ -551,7 +551,13 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
     record-stream kernel — per-block, or two-block co-scheduled when
     ``pair`` (merged record streams hide the per-gang dependence chain).
     Blocks the resolver rejects (pathologically fragmented streams) fall
-    back to the fused on-chip parser."""
+    back to the fused on-chip parser.
+
+    Multi-process: the resolver runs SHARD-LOCALLY — each process preps
+    only the blocks its devices hold (the host-side twin of the upstream
+    reader thread splitting work across workers) — and the processes
+    agree on bucketed plane shapes through one tiny allgather of
+    (fallback_flag, lit_rows, rec_rows)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ..runtime import native
@@ -562,20 +568,72 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
     n_dev = mesh.devices.size
     gran = 2 * n_dev if pair else n_dev  # pairs must be device-local
     B = max(-(-n // gran) * gran, gran)
+    sharding = mesh_mod.block_sharding(mesh)
+    multi = jax.process_count() > 1
 
-    def prep(entry):
-        off, psz, ext = entry
-        return native.bulk_prep(stream[off:off + psz], ext)
+    if multi:  # stage (and resolve) only rows this process's devices hold
+        amap = sharding.addressable_devices_indices_map((B,))
+        rows = set()
+        for idx in amap.values():
+            sl = idx[0]
+            rows.update(range(sl.start or 0,
+                              B if sl.stop is None else sl.stop))
+    else:
+        rows = set(range(B))
+    local_blocks = [b for b in sorted(rows) if b < n]
+    local_pairs = sorted({r // 2 for r in rows})  # incl. padding pairs
+
+    preps = {}
+
+    def prep(b):
+        off, psz, ext = table_window[b]
+        preps[b] = native.bulk_prep(stream[off:off + psz], ext)
 
     with ThreadPoolExecutor() as pool:  # C releases the GIL
-        preps = list(pool.map(prep, table_window))
-    if any(r is None for r in preps):
-        return _decode_window_stream(stream, table_window, mesh, None)
+        list(pool.map(prep, local_blocks))
 
+    _EMPTY = (np.zeros(0, np.uint8), np.zeros(0, np.uint32),
+              np.zeros(8, np.uint32))
+
+    def prep_at(b):
+        return preps[b] if b < n else _EMPTY
+
+    fallback = any(preps[b] is None for b in local_blocks)
+    merged = {}
+    if not fallback:
+        lit_rows = max((DBK.rows_for_bytes(len(preps[b][0]))
+                        for b in local_blocks), default=8)
+        if pair:
+            for g in local_pairs:
+                a, c = prep_at(2 * g), prep_at(2 * g + 1)
+                merged[g] = native.bulk_merge2(a[1], a[2], c[1], c[2])
+            rec_rows = max((DBK.rows_for_bytes(4 * len(m[0]))
+                            for m in merged.values()), default=8)
+        else:
+            rec_rows = max((DBK.rows_for_bytes(4 * len(preps[b][1]))
+                            for b in local_blocks), default=8)
+    else:
+        lit_rows = rec_rows = 8
+
+    if multi:  # one scalar exchange: global fallback + plane buckets
+        from jax.experimental import multihost_utils
+
+        allv = multihost_utils.process_allgather(
+            np.array([int(fallback), lit_rows, rec_rows], np.int64))
+        allv = allv.reshape(-1, 3)
+        fallback = bool(allv[:, 0].any())
+        lit_rows = int(allv[:, 1].max())
+        rec_rows = int(allv[:, 2].max())
+    if fallback:
+        return _decode_window_stream(stream, table_window, mesh, None)
     # bucket plane rows across the batch (recompile-bounded)
-    lit_rows = _round_up(max(
-        DBK.rows_for_bytes(len(r[0])) for r in preps), 64)
-    sizes = [int(r[2][0]) for r in preps]
+    lit_rows = _round_up(lit_rows, 64)
+    rec_rows = _round_up(rec_rows, 512)
+
+    # decoded sizes come from the 3-byte declared-size headers — no
+    # resolver needed, so host-0 assembly works without remote preps
+    sizes = [stream[off] | (stream[off + 1] << 8) | (stream[off + 2] << 16)
+             if psz >= 3 else 0 for off, psz, _ in table_window]
 
     def pack_lit(lo, hi):
         out = np.zeros((hi - lo, lit_rows, DK.LANES), np.int32)
@@ -583,53 +641,45 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
             out[b - lo] = DBK.pack_lit_words(preps[b][0], lit_rows)
         return out
 
-    sharding = mesh_mod.block_sharding(mesh)
     lit_dev = _device_put_rows((B, lit_rows, DK.LANES), np.int32, sharding,
                                pack_lit)
 
     if pair:
-        empty = (np.zeros(0, np.uint8), np.zeros(0, np.uint32),
-                 np.zeros(8, np.uint32))
-        padded = preps + [empty] * (B - n)
-        merged = [native.bulk_merge2(padded[2 * g][1], padded[2 * g][2],
-                                     padded[2 * g + 1][1],
-                                     padded[2 * g + 1][2])
-                  for g in range(B // 2)]
-        rec_rows = _round_up(max(
-            DBK.rows_for_bytes(4 * len(m[0])) for m in merged), 512)
-        meta2 = np.zeros((B // 2, 8), dtype=np.int32)
-        for g, (_rec, m2) in enumerate(merged):
-            meta2[g] = m2.astype(np.int64).astype(np.int32)
-
         def pack_rec2(lo, hi):
             out = np.zeros((hi - lo, rec_rows, DK.LANES), np.int32)
             for g in range(lo, hi):
                 out[g - lo] = DBK.pack_rec_words(merged[g][0], rec_rows)
             return out
 
+        def pack_meta2(lo, hi):
+            out = np.zeros((hi - lo, 8), np.int32)
+            for g in range(lo, hi):
+                out[g - lo] = merged[g][1].astype(np.int64).astype(np.int32)
+            return out
+
         host = _to_host0(_sharded_decode_bulk2(mesh, lit_rows, rec_rows)(
             lit_dev,
             _device_put_rows((B // 2, rec_rows, DK.LANES), np.int32,
                              sharding, pack_rec2),
-            _device_put(meta2, sharding)))
+            _device_put_rows((B // 2, 8), np.int32, sharding, pack_meta2)))
     else:
-        rec_rows = _round_up(max(
-            DBK.rows_for_bytes(4 * len(r[1])) for r in preps), 512)
-        meta = np.zeros((B, 8), dtype=np.int32)
-        for b, r in enumerate(preps):
-            meta[b] = r[2].astype(np.int64).astype(np.int32)
-
         def pack_rec(lo, hi):
             out = np.zeros((hi - lo, rec_rows, DK.LANES), np.int32)
             for b in range(lo, min(hi, n)):
                 out[b - lo] = DBK.pack_rec_words(preps[b][1], rec_rows)
             return out
 
+        def pack_meta(lo, hi):
+            out = np.zeros((hi - lo, 8), np.int32)
+            for b in range(lo, min(hi, n)):
+                out[b - lo] = preps[b][2].astype(np.int64).astype(np.int32)
+            return out
+
         host = _to_host0(_sharded_decode_bulk(mesh, lit_rows, rec_rows)(
             lit_dev,
             _device_put_rows((B, rec_rows, DK.LANES), np.int32, sharding,
                              pack_rec),
-            _device_put(meta, sharding)))
+            _device_put_rows((B, 8), np.int32, sharding, pack_meta)))
     if host is None:  # nonzero process: host 0 holds the output
         return [b""] * n
     return [host[b].reshape(-1).view("<u1")[:sizes[b]].tobytes()
