@@ -689,53 +689,149 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
 _DICT_PAD = 1 << 16  # dict-extended output/payload headroom (bucketed)
 
 
-def _decode_window_xla(parsed, mesh: Mesh, base: int = 0) -> List[bytes]:
-    """Decode one window of parsed blocks via kernels/decode_xla.py."""
-    n = len(parsed)
+def _local_block_rows(sharding, B: int, n: int):
+    """Global rows this process's devices hold (all of them when
+    single-process), and the subset that are real blocks (< n)."""
+    if jax.process_count() == 1:
+        rows = set(range(B))
+    else:
+        amap = sharding.addressable_devices_indices_map((B,))
+        rows = set()
+        for idx in amap.values():
+            sl = idx[0]
+            rows.update(range(sl.start or 0,
+                              B if sl.stop is None else sl.stop))
+    return rows, [b for b in sorted(rows) if b < n]
+
+
+def _agree_max(values):
+    """Element-wise max of per-process int lists — one tiny allgather so
+    every process buckets batch shapes identically (shape agreement is
+    what keeps the jit programs SPMD-compatible across hosts)."""
+    if jax.process_count() == 1:
+        return [int(v) for v in values]
+    from jax.experimental import multihost_utils
+
+    allv = multihost_utils.process_allgather(
+        np.asarray(values, np.int64)).reshape(-1, len(values))
+    return [int(x) for x in allv.max(axis=0)]
+
+
+def _declared_sizes(stream, table_window):
+    """Per-block decoded sizes from the 3-byte declared-size headers —
+    available to every host without parsing the payloads."""
+    return [stream[off] | (stream[off + 1] << 8) | (stream[off + 2] << 16)
+            if psz >= 3 else 0 for off, psz, _ in table_window]
+
+
+def _tokenize_local(stream, table_window, local_blocks,
+                    dictionary: Optional[bytes]):
+    """Host tokenization of only this process's shard blocks (the
+    shard-local split of the upstream reader/parse work)."""
+    from ..block import tokenize_with_dict
+
+    parsed = {}
+    for b in local_blocks:
+        off, psz, ext = table_window[b]
+        parsed[b] = tokenize_with_dict(stream[off:off + psz], ext,
+                                       dictionary)
+    return parsed
+
+
+def _decode_window_xla(stream, table_window, mesh: Mesh,
+                       dictionary: Optional[bytes] = None) -> List[bytes]:
+    """Decode one window via kernels/decode_xla.py; host tokenization and
+    plane packing are SHARD-LOCAL (each process parses only its blocks)."""
+    base = len(dictionary) if dictionary else 0
+    n = len(table_window)
     n_dev = mesh.devices.size
     B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+    sharding = mesh_mod.block_sharding(mesh)
+    _, local_blocks = _local_block_rows(sharding, B, n)
+    parsed = _tokenize_local(stream, table_window, local_blocks, dictionary)
     n_out = DXL.OUT_N + (_DICT_PAD if base else 0)
     pay_n = DXL.PAY_N + (_DICT_PAD if base else 0)
-    tok = [p[1:5] for p in parsed] + [parsed[0][1:5]] * (B - n)
-    d, s, l, q = DXL.pack_token_batch(tok, n_out=n_out)
-    pay = DXL.pack_payload_batch([p[0] for p in parsed]
-                                 + [parsed[0][0]] * (B - n),
-                                 pay_n=pay_n)
-    sharding = mesh_mod.block_sharding(mesh)
-    args = [_device_put(x, sharding) for x in (d, s, l, q, pay)]
+    [t_max] = _agree_max([max((len(parsed[b][1]) for b in local_blocks),
+                              default=1)])
+    T = _round_up(t_max + 1, 8192)
+    sizes = _declared_sizes(stream, table_window)
+
+    def mk_tok(comp, fill):
+        def cb(lo, hi):
+            out = np.full((hi - lo, T), fill, np.int32)
+            for b in range(lo, min(hi, n)):
+                v = parsed[b][1 + comp]
+                out[b - lo, :len(v)] = v
+            return out
+
+        return cb
+
+    def pack_pay(lo, hi):
+        out = np.zeros((hi - lo, pay_n), np.uint8)
+        for b in range(lo, min(hi, n)):
+            p = parsed[b][0]
+            out[b - lo, :len(p)] = np.frombuffer(p, np.uint8)
+        return out
+
+    args = [_device_put_rows((B, T), np.int32, sharding, mk_tok(c, f))
+            for c, f in ((0, n_out), (1, 0), (2, 0), (3, 1))]
+    args.append(_device_put_rows((B, pay_n), np.uint8, sharding, pack_pay))
     out = _to_host0(_sharded_decode_xla(mesh, n_out)(*args))
     if out is None:  # nonzero process: host 0 holds the output
         return [b""] * n
-    return [out[b, base:base + p[5]].tobytes()
-            for b, p in enumerate(parsed)]
+    return [out[b, base:base + sizes[b]].tobytes() for b in range(n)]
 
 
-def _decode_window_pallas(parsed, mesh: Mesh, interpret: bool,
-                          base: int = 0) -> List[bytes]:
-    """Decode one window of parsed blocks via the Pallas token-walk kernel."""
-    n = len(parsed)
+def _decode_window_pallas(stream, table_window, mesh: Mesh,
+                          interpret: bool,
+                          dictionary: Optional[bytes] = None) -> List[bytes]:
+    """Decode one window via the Pallas token-walk kernel; host
+    tokenization and plane packing are SHARD-LOCAL."""
+    base = len(dictionary) if dictionary else 0
+    n = len(table_window)
     n_dev = mesh.devices.size
     B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+    sharding = mesh_mod.block_sharding(mesh)
+    _, local_blocks = _local_block_rows(sharding, B, n)
+    parsed = _tokenize_local(stream, table_window, local_blocks, dictionary)
     pad_rows = (_DICT_PAD // DK.ROW_BYTES) if base else 0
     pay_rows = DK.PAY_ROWS + pad_rows
     out_rows = DK.OUT_ROWS + pad_rows
-    max_tokens = max(len(p[1]) for p in parsed)
-    n_chunks = _round_up(DK.n_chunks_for_tokens(max_tokens), 64)
-    payload_words = np.zeros((B, pay_rows, DK.LANES), dtype=np.int32)
-    tok_a = np.zeros((B, n_chunks, DK._SLOT_ROWS, DK.LANES), dtype=np.int32)
-    tok_b = np.zeros_like(tok_a)
-    for b, (payload, dst, src, ln, lit, size) in enumerate(parsed):
-        payload_words[b] = DK.pack_payload_words(payload, pay_rows=pay_rows)
-        tok_a[b], tok_b[b] = DK.pack_tokens(dst, src, ln, lit, n_chunks,
-                                            pay_rows=pay_rows)
-    sharding = mesh_mod.block_sharding(mesh)
-    args = [_device_put(x, sharding)
-            for x in (payload_words, tok_a, tok_b)]
+    [t_max] = _agree_max([max((len(parsed[b][1]) for b in local_blocks),
+                              default=1)])
+    n_chunks = _round_up(DK.n_chunks_for_tokens(t_max), 64)
+    sizes = _declared_sizes(stream, table_window)
+
+    def pack_pay(lo, hi):
+        out = np.zeros((hi - lo, pay_rows, DK.LANES), np.int32)
+        for b in range(lo, min(hi, n)):
+            out[b - lo] = DK.pack_payload_words(parsed[b][0],
+                                                pay_rows=pay_rows)
+        return out
+
+    def mk_tok(which):
+        def cb(lo, hi):
+            out = np.zeros((hi - lo, n_chunks, DK._SLOT_ROWS, DK.LANES),
+                           np.int32)
+            for b in range(lo, min(hi, n)):
+                _, dst, src, ln, lit, _sz, *_ = parsed[b]
+                out[b - lo] = DK.pack_tokens(dst, src, ln, lit, n_chunks,
+                                             pay_rows=pay_rows)[which]
+            return out
+
+        return cb
+
+    args = [_device_put_rows((B, pay_rows, DK.LANES), np.int32, sharding,
+                             pack_pay),
+            _device_put_rows((B, n_chunks, DK._SLOT_ROWS, DK.LANES),
+                             np.int32, sharding, mk_tok(0)),
+            _device_put_rows((B, n_chunks, DK._SLOT_ROWS, DK.LANES),
+                             np.int32, sharding, mk_tok(1))]
     host = _to_host0(_sharded_decode(mesh, interpret, out_rows)(*args))
     if host is None:  # nonzero process: host 0 holds the output
         return [b""] * n
-    return [host[b].reshape(-1).view("<u1")[base:base + p[5]].tobytes()
-            for b, p in enumerate(parsed)]
+    return [host[b].reshape(-1).view("<u1")[base:base + sizes[b]].tobytes()
+            for b in range(n)]
 
 
 def decompress(stream: bytes, mesh: Optional[Mesh] = None,
@@ -778,7 +874,6 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     if window_blocks <= 0:
         window_blocks = 4 * mesh.devices.size
 
-    base = len(dictionary) if dictionary else 0
     hdr, table = scan_block_table(stream)
     parts: List[bytes] = []
     for lo in range(0, len(table), window_blocks):
@@ -793,13 +888,11 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
             # context is staged on-device there)
             blocks_out = _decode_window_stream(stream, win, mesh,
                                                dictionary)
+        elif impl == "xla":
+            blocks_out = _decode_window_xla(stream, win, mesh, dictionary)
         else:
-            parsed, _ = _tokenize_all(stream, win, dictionary)
-            if impl == "xla":
-                blocks_out = _decode_window_xla(parsed, mesh, base)
-            else:
-                blocks_out = _decode_window_pallas(parsed, mesh, interpret,
-                                                   base)
+            blocks_out = _decode_window_pallas(stream, win, mesh,
+                                               interpret, dictionary)
         # per-block progress while draining the window, matching the
         # upstream writer thread's per-block cadence
         # (tsq_threads.cpp:248-254)
@@ -889,18 +982,39 @@ def decompress_to_file(stream: bytes, out_path, mesh: Optional[Mesh] = None,
                     _device_put(meta, sharding),
                     _device_put(dict_words, mesh_mod.replicated(mesh)))
             else:
-                parsed, _ = _tokenize_all(stream, win, dictionary)
-                nb = len(parsed)
-                Bx = max(mesh_mod.pad_batch(nb, n_dev), n_dev)
+                # shard-local tokenization + packing (see _decode_window_xla)
+                _, local_blocks = _local_block_rows(sharding, B, n)
+                parsed = _tokenize_local(stream, win, local_blocks,
+                                         dictionary)
                 n_out = DXL.OUT_N + (_DICT_PAD if dlen else 0)
                 pay_n = DXL.PAY_N + (_DICT_PAD if dlen else 0)
-                tok = [p[1:5] for p in parsed] + [parsed[0][1:5]] * (Bx - nb)
-                d, srcs, l, q = DXL.pack_token_batch(tok, n_out=n_out)
-                pay = DXL.pack_payload_batch(
-                    [p[0] for p in parsed] + [parsed[0][0]] * (Bx - nb),
-                    pay_n=pay_n)
-                args = [_device_put(x, sharding)
-                        for x in (d, srcs, l, q, pay)]
+                [t_max] = _agree_max(
+                    [max((len(parsed[b][1]) for b in local_blocks),
+                         default=1)])
+                T = _round_up(t_max + 1, 8192)
+
+                def mk_tok(comp, fill, win=win, n=n, parsed=parsed, T=T):
+                    def cb(lo, hi):
+                        out = np.full((hi - lo, T), fill, np.int32)
+                        for b in range(lo, min(hi, n)):
+                            v = parsed[b][1 + comp]
+                            out[b - lo, :len(v)] = v
+                        return out
+
+                    return cb
+
+                def pack_pay(lo, hi, n=n, parsed=parsed, pay_n=pay_n):
+                    out = np.zeros((hi - lo, pay_n), np.uint8)
+                    for b in range(lo, min(hi, n)):
+                        p = parsed[b][0]
+                        out[b - lo, :len(p)] = np.frombuffer(p, np.uint8)
+                    return out
+
+                args = [_device_put_rows((B, T), np.int32, sharding,
+                                         mk_tok(c, f))
+                        for c, f in ((0, n_out), (1, 0), (2, 0), (3, 1))]
+                args.append(_device_put_rows((B, pay_n), np.uint8,
+                                             sharding, pack_pay))
                 words = _sharded_decode_xla(mesh, n_out)(*args)
 
             # per-host writes: each process drains its addressable shards
