@@ -65,3 +65,20 @@ def test_fuzz_roundtrip_all_levels(native, seed):
     d = data[:40_000]
     sd = native.compress_dict(data, d, True, level=2)
     assert native.decompress_dict(sd, d) == data
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_fuzz_bulk_emit_identity(native, seed):
+    """Mixed-class fuzz through the two-pass device emitter (interpret):
+    byte-identity vs the host level-1 emission on exactly the boundary
+    shapes that broke the single-pass emitter in r2 (window-edge repeats,
+    entropy switches, zero runs)."""
+    from turbosqueeze_tpu.kernels import encode_bulk as EB
+
+    rng = np.random.default_rng(seed)
+    data = _mixed_case(rng, int(rng.integers(60_000, 140_000)))
+    cand = native.build_candidates(data)
+    want = native.encode_block_candidates(data, cand, True, level=1)
+    got, ovf = EB.emit_bulk_block(data, cand, ext=True, interpret=True)
+    assert ovf == 0
+    assert got == want, f"seed={seed}"
