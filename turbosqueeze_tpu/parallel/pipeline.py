@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -349,21 +349,6 @@ def _to_host0(x):
 
 # --- decompress ----------------------------------------------------------------
 
-def _tokenize_all(stream: bytes, table,
-                  dictionary: Optional[bytes] = None) -> Tuple[list, int]:
-    from ..block import tokenize_with_dict
-
-    parsed = []
-    max_tokens = 1
-    for off, psz, ext in table:
-        payload = stream[off:off + psz]
-        pay2, dst, src, ln, lit, size, _ = tokenize_with_dict(
-            payload, ext, dictionary)
-        parsed.append((pay2, dst, src, ln, lit, size))
-        max_tokens = max(max_tokens, len(dst))
-    return parsed, max_tokens
-
-
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -385,50 +370,63 @@ def decompress_to_words(stream: bytes, mesh: Optional[Mesh] = None,
     interpret = interpret or jax.default_backend() == "cpu"
     hdr, table = scan_block_table(stream)
 
+    n = len(table)
+    n_dev = mesh.devices.size
+    B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
+    sharding = mesh_mod.block_sharding(mesh)
+    sizes = _declared_sizes(stream, table)
+
     if impl == "stream":
-        n = len(table)
-        n_dev = mesh.devices.size
-        B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
-        payload_words = np.zeros((B, DK.PAY_ROWS, DK.LANES), dtype=np.int32)
-        exts, sizes = [], []
-        for b, (off, psz, ext) in enumerate(table):
-            payload = stream[off:off + psz]
-            payload_words[b] = DK.pack_payload_words(payload)
-            exts.append(ext)
-            sizes.append(payload[0] | (payload[1] << 8) | (payload[2] << 16)
-                         if psz >= 3 else 0)
-        meta = DST.pack_meta(exts + [False] * (B - n),
+        def pack_rows(lo, hi):
+            pw = np.zeros((hi - lo, DK.PAY_ROWS, DK.LANES), np.int32)
+            for b in range(lo, min(hi, n)):
+                off, psz, _ = table[b]
+                pw[b - lo] = DK.pack_payload_words(stream[off:off + psz])
+            return pw
+
+        meta = DST.pack_meta([e for _, _, e in table] + [False] * (B - n),
                              sizes + [0] * (B - n))
-        sharding = mesh_mod.block_sharding(mesh)
         dict_words = np.zeros((8, DK.LANES), np.int32)
         words = _sharded_decode_stream(mesh)(
-            _device_put(payload_words, sharding),
+            _device_put_rows((B, DK.PAY_ROWS, DK.LANES), np.int32,
+                             sharding, pack_rows),
             _device_put(meta, sharding),
             _device_put(dict_words, mesh_mod.replicated(mesh)))
         return words, sizes, hdr
 
-    parsed, max_tokens = _tokenize_all(stream, table)
+    # token-chunk kernel: SHARD-LOCAL tokenization + packing, chunk count
+    # bucketed identically on every process (one scalar allgather)
+    _, local_blocks = _local_block_rows(sharding, B, n)
+    parsed = _tokenize_local(stream, table, local_blocks, None)
+    [t_max] = _agree_max([max((len(parsed[b][1]) for b in local_blocks),
+                              default=1)])
+    n_chunks = _round_up(DK.n_chunks_for_tokens(t_max), 64)
 
-    n = len(parsed)
-    n_dev = mesh.devices.size
-    B = max(mesh_mod.pad_batch(n, n_dev), n_dev)
-    # bucket the chunk count to limit recompiles across batches
-    n_chunks = _round_up(DK.n_chunks_for_tokens(max_tokens), 64)
+    def pack_pay(lo, hi):
+        out = np.zeros((hi - lo, DK.PAY_ROWS, DK.LANES), np.int32)
+        for b in range(lo, min(hi, n)):
+            out[b - lo] = DK.pack_payload_words(parsed[b][0])
+        return out
 
-    payload_words = np.zeros((B, DK.PAY_ROWS, DK.LANES), dtype=np.int32)
-    tok_a = np.zeros((B, n_chunks, DK._SLOT_ROWS, DK.LANES), dtype=np.int32)
-    tok_b = np.zeros_like(tok_a)
-    sizes = []
-    for b, (payload, dst, src, ln, lit, size) in enumerate(parsed):
-        payload_words[b] = DK.pack_payload_words(payload)
-        a_c, b_c = DK.pack_tokens(dst, src, ln, lit, n_chunks)
-        tok_a[b], tok_b[b] = a_c, b_c
-        sizes.append(size)
+    def mk_tok(which):
+        def cb(lo, hi):
+            out = np.zeros((hi - lo, n_chunks, DK._SLOT_ROWS, DK.LANES),
+                           np.int32)
+            for b in range(lo, min(hi, n)):
+                _, dst, src, ln, lit, _sz, *_ = parsed[b]
+                out[b - lo] = DK.pack_tokens(dst, src, ln, lit,
+                                             n_chunks)[which]
+            return out
 
-    sharding = mesh_mod.block_sharding(mesh)
-    args = [_device_put(x, sharding)
-            for x in (payload_words, tok_a, tok_b)]
-    words = _sharded_decode(mesh, interpret)(*args)
+        return cb
+
+    words = _sharded_decode(mesh, interpret)(
+        _device_put_rows((B, DK.PAY_ROWS, DK.LANES), np.int32, sharding,
+                         pack_pay),
+        _device_put_rows((B, n_chunks, DK._SLOT_ROWS, DK.LANES), np.int32,
+                         sharding, mk_tok(0)),
+        _device_put_rows((B, n_chunks, DK._SLOT_ROWS, DK.LANES), np.int32,
+                         sharding, mk_tok(1)))
     return words, sizes, hdr
 
 
