@@ -187,11 +187,11 @@ def _decide_kernel(meta_ref, in_hbm, cand_hbm, nv_hbm, side_hbm, rec_hbm,
     # S is a flat int32 tuple; indices below. All cursors are byte
     # positions except rp (record-stream words).
     (J, SJ, CSAT, SSAT, NSYM, ANCHOR, CACC, SACC,     # TokenSink mirror
-     HWM, LLO, LLS, DVC, DVS,                         # dead-slot contract
+     HWM, LLO, LLS,                                   # dead-slot contract
      RTYPE, ROUT0, RSRC0,                             # open run
      RP, EAT, EN, EROW, EWIN,                         # record stream
      WIIN, WICAND, WINV, SOFS, SPAR, ROFS, RPAR,      # rings
-     OVF) = range(29)
+     OVF) = range(27)
 
     def rings_catchup(i, S):
         """Advance all read rings to cover cursor i (jump-capable: loops
@@ -329,7 +329,7 @@ def _decide_kernel(meta_ref, in_hbm, cand_hbm, nv_hbm, side_hbm, rec_hbm,
     def reserve(S, which):
         """TokenSink::reserve (csrc tsq_core.cpp:83-86) in two-plane form:
         allocate the output byte at J inside a computed run, remember the
-        slot's side position, and precompute the dead-slot value the host
+        slot's side position, and materialize the dead-slot value the host
         semantics would leave if no group ever fills it (0 at/above the
         literal high-water mark, else the last over-copy's input byte)."""
         S = to_run(S, 0, S[SJ])
@@ -337,31 +337,38 @@ def _decide_kernel(meta_ref, in_hbm, cand_hbm, nv_hbm, side_hbm, rec_hbm,
             S[J] >= S[HWM], jnp.int32(0),
             load32(S[LLS] + (S[J] - S[LLO])) & 0xFF)
         side_byte(S[SJ], dead)
-        at, dv = (CSAT, DVC) if which == 0 else (SSAT, DVS)
+        at = CSAT if which == 0 else SSAT
         S = S[:at] + (S[SJ],) + S[at + 1:]
-        S = S[:dv] + (dead,) + S[dv + 1:]
         return S[:J] + (S[J] + 1, S[SJ] + 1) + S[SJ + 1:]
 
     def account(S, ctrl_bit, nibble, cursor):
-        """TokenSink::account against the side plane (store-every-symbol:
-        the group-final store wins, encode_emit protocol)."""
+        """TokenSink::account against the side plane. Unlike the
+        single-pass kernel (whose out ring could ship a slot mid-group,
+        forcing store-every-symbol), the side plane stays SMEM-resident
+        256+ bytes past the write cursor — far beyond a group's ~130-byte
+        extent — so accumulators store ONLY at group boundaries; finish()
+        patches partial trailing groups."""
         n_sym = S[NSYM] + 1
         cacc = ((S[CACC] << 1) | ctrl_bit) & 0xFF
         S = S[:NSYM] + (n_sym,) + S[NSYM + 1:]
         S = S[:CACC] + (cacc,) + S[CACC + 1:]
-        side_byte(S[CSAT], cacc)
-        S = jax.lax.cond((n_sym & 7) == 0,
-                         lambda S: reserve(S, 0), lambda S: S, S)
+
+        def grp8(S):
+            # ring upkeep rides the 1-in-8 branch: SJ grows <= ~140 bytes
+            # per group against the 3.8 KiB ship margin
+            side_byte(S[CSAT], cacc)
+            return side_flush(reserve(S, 0))
+
+        S = jax.lax.cond((n_sym & 7) == 0, grp8, lambda S: S, S)
         sacc = ((S[SACC] << 4) | nibble) & 0xFF
         S = S[:SACC] + (sacc,) + S[SACC + 1:]
-        side_byte(S[SSAT], sacc)
 
         def adv2(S):
+            side_byte(S[SSAT], sacc)
             S = reserve(S, 1)
             return S[:ANCHOR] + (cursor,) + S[ANCHOR + 1:]
 
-        S = jax.lax.cond((n_sym & 1) == 0, adv2, lambda S: S, S)
-        return side_flush(S)
+        return jax.lax.cond((n_sym & 1) == 0, adv2, lambda S: S, S)
 
     def lit_symbol(S, frm, run):
         """One <=16-byte literal symbol: no byte movement — extend/open
@@ -402,7 +409,7 @@ def _decide_kernel(meta_ref, in_hbm, cand_hbm, nv_hbm, side_hbm, rec_hbm,
     S = (z + 3, z + 3,          # J, SJ (cursors after the header)
          z + 3, z + 4,          # CSAT, SSAT (patched below by reserve)
          z, base, z, z,         # NSYM, ANCHOR, CACC, SACC
-         z + 3, z, z, z, z,     # HWM, LLO, LLS, DVC, DVS
+         z + 3, z, z,           # HWM, LLO, LLS
          z, z, z,               # RTYPE=comp, ROUT0=0, RSRC0=0
          z, z - 1, z, z - 1, z, # RP, EAT=-1, EN, EROW=-1, EWIN
          s0_in, s0_pos, s0_pos, # WIIN, WICAND, WINV
@@ -528,7 +535,7 @@ def _decide_kernel(meta_ref, in_hbm, cand_hbm, nv_hbm, side_hbm, rec_hbm,
     # finish(): csrc tsq_core.cpp:126-138 — pad the final ctrl byte with
     # literal bits, pad a half-filled size byte's low nibble with zero;
     # group-boundary streams leave the dead reserved slots exactly as
-    # reserve() left them (already materialized in DVC/DVS).
+    # reserve() left them (materialized into the side plane at reserve).
     n_sym = S[NSYM]
 
     @pl.when((n_sym & 7) != 0)
