@@ -297,7 +297,7 @@ struct Resolver {
     close_entry();
     emit_deferred();
     uint32_t w = win_end / kBulkWin;  // index of the NEXT window
-    if (w <= kBulkMaxWin) meta[4 + w] = (uint32_t)n;
+    if (4 + w < kBulkMetaWords) meta[4 + w] = (uint32_t)n;
     win_start = win_end;
     win_end = win_start + kBulkWin;
     if (win_end > size) win_end = size;
@@ -374,24 +374,38 @@ struct Resolver {
 }  // namespace
 
 int64_t bulk_prep(const uint8_t* in, size_t in_size, bool ext,
+                  const uint8_t* dict, uint32_t dict_len,
                   uint8_t* lit, uint64_t lit_cap,
                   uint32_t* rec, uint64_t rec_cap_words, uint32_t* meta) {
   if (in_size < 5) return kErrBadPayload;
+  if (dict_len > kMaxDict) return kErrBadPayload;
   uint32_t size = in[0] | (in[1] << 8) | ((uint32_t)in[2] << 16);
   if (size > kBlockSize) return kErrBlockTooBig;
-  if (lit_cap < (uint64_t)size + 64) return kErrOutputTooSmall;
+  // With a preset dictionary the output space is the dict-extended
+  // [0, dict_len + size): the dictionary is staged as a synthetic
+  // literal-plane copy at [0, dict_len) (the resolver twin of the
+  // guard-region decode, csrc decode_block_dict), so match sources
+  // reaching into the dictionary resolve like any literal interval and
+  // the kernel needs no dictionary-specific paths at all.
+  uint32_t total = dict_len + size;
+  if (lit_cap < (uint64_t)total + 64) return kErrOutputTooSmall;
   meta[0] = size;
-  meta[1] = size ? (size + kBulkWin - 1) / kBulkWin : 0;
+  meta[1] = total ? (total + kBulkWin - 1) / kBulkWin : 0;
 
-  Resolver rs(size, rec, rec_cap_words, meta);
+  Resolver rs(total, rec, rec_cap_words, meta);
   uint64_t lit_n = 0;
+  if (dict_len) {
+    std::memcpy(lit, dict, dict_len);
+    lit_n = dict_len;
+    rs.emit(0, dict_len, 0, kLit);
+  }
   size_t i = 3;
-  uint32_t j = 0;
+  uint32_t j = dict_len;
 
-  while (j < size) {
+  while (j < total) {
     if (i >= in_size) return kErrTruncated;
     uint32_t ctrl = in[i++];
-    for (int pair = 0; pair < 4 && j < size; ++pair) {
+    for (int pair = 0; pair < 4 && j < total; ++pair) {
       if (i >= in_size) return kErrTruncated;
       uint32_t size_byte = in[i++];
       const uint32_t pair_anchor = j;
@@ -400,7 +414,7 @@ int64_t bulk_prep(const uint8_t* in, size_t in_size, bool ext,
         bool literal = (ctrl >> (7 - pair * 2 - half)) & 1;
         if (literal) {
           uint32_t sz = nibble + 1;
-          if (j + sz > size) sz = size - j;  // corrupt-stream clamp
+          if (j + sz > total) sz = total - j;  // corrupt-stream clamp
           if (i + nibble + 1 > in_size + 48) return kErrTruncated;
           if (sz) {
             for (uint32_t t = 0; t < sz; ++t)
@@ -423,11 +437,11 @@ int64_t bulk_prep(const uint8_t* in, size_t in_size, bool ext,
           if (off > pair_anchor) return kErrBadPayload;
           uint32_t qs = pair_anchor - off;
           uint32_t sz = ext && nibble < 3 ? 32 + 16 * nibble : nibble + 1;
-          if (j + sz > size) sz = size - j;  // corrupt-stream clamp
+          if (j + sz > total) sz = total - j;  // corrupt-stream clamp
           uint32_t qd = j, left = sz;
           bool counted = false, whole_defer = false;
           while (left) {
-            while (qd >= rs.win_end && rs.win_end < size)
+            while (qd >= rs.win_end && rs.win_end < total)
               rs.close_window();
             uint32_t wtake = rs.win_end - qd;
             if (wtake > left) wtake = left;
@@ -502,8 +516,16 @@ extern "C" {
 int64_t tsq_bulk_prep(const uint8_t* in, uint64_t in_size, int ext,
                       uint8_t* lit, uint64_t lit_cap, uint32_t* rec,
                       uint64_t rec_cap_words, uint32_t* meta) {
-  return tsq::bulk_prep(in, in_size, ext != 0, lit, lit_cap, rec,
-                        rec_cap_words, meta);
+  return tsq::bulk_prep(in, in_size, ext != 0, nullptr, 0, lit, lit_cap,
+                        rec, rec_cap_words, meta);
+}
+
+int64_t tsq_bulk_prep_dict(const uint8_t* in, uint64_t in_size, int ext,
+                           const uint8_t* dict, uint32_t dict_len,
+                           uint8_t* lit, uint64_t lit_cap, uint32_t* rec,
+                           uint64_t rec_cap_words, uint32_t* meta) {
+  return tsq::bulk_prep(in, in_size, ext != 0, dict, dict_len, lit,
+                        lit_cap, rec, rec_cap_words, meta);
 }
 
 }  // extern "C"

@@ -211,11 +211,15 @@ constexpr int64_t kBulkOverflow = -101;  // rec buffer too small: retry
 // consumption so its SMEM prefetch ring lookahead stays fixed
 constexpr uint32_t kBulkMaxEntryRecs = 120;
 
-// meta[0]=size, [1]=n_windows, [2]=literal bytes, [3]=record words,
-// [4+w]=record word offset where window w starts (w <= kBulkMaxWin).
-// Returns record words written, kBulkFallback/kBulkOverflow, or a
-// negative Status for malformed payloads.
+// meta[0]=block size, [1]=n_windows, [2]=literal bytes, [3]=record
+// words, [4+w]=record word offset where window w starts. With a preset
+// dictionary the output space is dict-extended ([0, dict_len + size),
+// the dictionary staged as a literal-plane copy at [0, dict_len)) and a
+// third window may be needed. Returns record words written,
+// kBulkFallback/kBulkOverflow, or a negative Status for malformed
+// payloads.
 int64_t bulk_prep(const uint8_t* in, size_t in_size, bool ext,
+                  const uint8_t* dict, uint32_t dict_len,
                   uint8_t* lit, uint64_t lit_cap,
                   uint32_t* rec, uint64_t rec_cap_words, uint32_t* meta);
 

@@ -149,6 +149,33 @@ def test_pipeline_impl_bulk_multiblock():
     assert pipeline.decompress(stream, impl="bulk") == data
 
 
+def test_bulk_dictionary_decode():
+    """Resolver dict mode: the preset dictionary is staged as a
+    literal-plane copy in the dict-extended output space (third 2 MiB
+    window when needed); matches reaching into the dictionary resolve
+    like any literal interval."""
+    from turbosqueeze_tpu.format import iter_container
+    from turbosqueeze_tpu.runtime import native
+
+    d = synthetic_text(50_000, seed=91)
+    data = synthetic_text(100_000, seed=92) + bytes(4_000)
+    stream = native.compress_dict(data, d, True, level=1)
+    blocks = [(p, e) for _, p, e in iter_container(stream)]
+    got = DB.decode_bulk_block(blocks[0][0], blocks[0][1], interpret=True,
+                               dictionary=d)
+    assert got == data
+
+
+@pytest.mark.parametrize("impl", ["bulk", "bulk2"])
+def test_pipeline_impl_bulk_dictionary(impl):
+    from turbosqueeze_tpu.runtime import native
+
+    d = synthetic_text(40_000, seed=93)
+    data = synthetic_text(90_000, seed=94)
+    stream = native.compress_dict(data, d, True, level=1)
+    assert pipeline.decompress(stream, impl=impl, dictionary=d) == data
+
+
 def test_pipeline_impl_bulk2_multiblock():
     """Co-scheduled pair kernel through the public pipeline: odd block
     count (pair padding) and a ragged tail block."""

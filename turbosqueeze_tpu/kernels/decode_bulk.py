@@ -224,7 +224,8 @@ def _stage_tail(u_ref, w_ref):
 
 def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
                         ring_ref, vring_ref, sem_lit, sem_out, sem_ring,
-                        sem_vring, *, lit_rows, rec_rows, out_rows):
+                        sem_vring, *, lit_rows, rec_rows, out_rows,
+                        max_win=MAX_WIN):
     b = pl.program_id(0)
     n_win = meta_ref[b, 1]
 
@@ -279,7 +280,7 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
 
     waited = jnp.int32(0)
     p = jnp.int32(0)
-    for w in range(MAX_WIN):
+    for w in range(max_win):
         if w > 0:
             @pl.when(w + 1 <= n_win)
             def _():
@@ -307,7 +308,7 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
 def _decode_bulk2_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u0_ref, w0_ref,
                          u1_ref, w1_ref, ring_ref, vring_ref, sem_lit,
                          sem_out, sem_ring, sem_vring, *, lit_rows, rec_rows,
-                         out_rows):
+                         out_rows, max_win=MAX_WIN):
     """Two-block co-schedule: one merged, strictly-alternating record
     stream (csrc bulk_merge2) drives a pair of blocks against SEPARATE
     scratch refs. Each loop body processes one A-entry and one B-entry
@@ -372,7 +373,7 @@ def _decode_bulk2_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u0_ref, w0_ref,
 
     waited = jnp.int32(0)
     p = jnp.int32(0)
-    for w in range(MAX_WIN):
+    for w in range(max_win):
         if w > 0:
             @pl.when(w + 1 <= n_win_a)
             def _():
@@ -410,22 +411,26 @@ def _decode_bulk2_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u0_ref, w0_ref,
     vring_copy(waited + 2).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "out_rows"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "out_rows", "max_win"))
 def decode_bulk_batch(lit_words, rec_words, meta, *, interpret=False,
-                      out_rows: int = OUT_ROWS):
+                      out_rows: int = OUT_ROWS, max_win: int = MAX_WIN):
     """Reconstruct a batch of blocks from resolver planes.
 
     lit_words: (B, lit_rows, 128) i32 zero-padded literal planes.
     rec_words: (B, rec_rows, 128) i32 record streams (rows multiple of 8).
     meta:      (B, 8) i32 — bulk_prep meta words per block.
-    Returns (B, out_rows, 128) i32 decoded words (block bytes at [0,size)).
+    Returns (B, out_rows, 128) i32 decoded words (block bytes at [0,size);
+    dict-extended planes need max_win=3 and out_rows >= 3*WIN_ROWS, with
+    the block's bytes at [dict_len, dict_len + size)).
     """
     B, lit_rows, _ = lit_words.shape
     rec_rows = rec_words.shape[1]
     if lit_rows % 8 or rec_rows % 8:
         raise ValueError("plane rows must be multiples of 8")
     kernel = functools.partial(_decode_bulk_kernel, lit_rows=lit_rows,
-                               rec_rows=rec_rows, out_rows=out_rows)
+                               rec_rows=rec_rows, out_rows=out_rows,
+                               max_win=max_win)
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -450,9 +455,10 @@ def decode_bulk_batch(lit_words, rec_words, meta, *, interpret=False,
     )(meta, lit_words, rec_words)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "out_rows"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "out_rows", "max_win"))
 def decode_bulk2_batch(lit_words, rec2_words, meta2, *, interpret=False,
-                       out_rows: int = OUT_ROWS):
+                       out_rows: int = OUT_ROWS, max_win: int = MAX_WIN):
     """Two-block co-scheduled variant: block pairs (2g, 2g+1) share one
     merged record stream (native.bulk_merge2) and decode together.
 
@@ -468,7 +474,8 @@ def decode_bulk2_batch(lit_words, rec2_words, meta2, *, interpret=False,
     if lit_rows % 8 or rec_rows % 8:
         raise ValueError("plane rows must be multiples of 8")
     kernel = functools.partial(_decode_bulk2_kernel, lit_rows=lit_rows,
-                               rec_rows=rec_rows, out_rows=out_rows)
+                               rec_rows=rec_rows, out_rows=out_rows,
+                               max_win=max_win)
     return pl.pallas_call(
         kernel,
         grid=(B // 2,),
@@ -579,12 +586,27 @@ def prep_batch2(payloads_ext):
     return lit_words, rec2_words, meta2, sizes
 
 
-def decode_bulk_block(payload: bytes, ext: bool, interpret: bool = True):
+def decode_bulk_block(payload: bytes, ext: bool, interpret: bool = True,
+                      dictionary: bytes = None):
     """Single-block helper for tests: payload -> decoded bytes or None
-    (fallback needed)."""
-    planes = prep_batch([(payload, ext)])
-    if planes is None:
+    (fallback needed). With ``dictionary`` the resolver works in the
+    dict-extended output space (third window possible)."""
+    from ..runtime import native
+
+    r = native.bulk_prep(payload, ext, dictionary)
+    if r is None:
         return None
-    lit_words, rec_words, meta, sizes = planes
-    out = decode_bulk_batch(lit_words, rec_words, meta, interpret=interpret)
-    return np.asarray(out)[0].reshape(-1).view("<u1")[:sizes[0]].tobytes()
+    lit, rec, meta = r
+    base = len(dictionary) if dictionary else 0
+    lit_rows = rows_for_bytes(len(lit))
+    rec_rows = rows_for_bytes(4 * len(rec))
+    out = decode_bulk_batch(
+        pack_lit_words(lit, lit_rows)[None],
+        pack_rec_words(rec, rec_rows)[None],
+        meta.astype(np.int64).astype(np.int32)[None],
+        interpret=interpret,
+        out_rows=3 * WIN_ROWS if base else OUT_ROWS,
+        max_win=3 if base else MAX_WIN)
+    size = int(meta[0])
+    return (np.asarray(out)[0].reshape(-1).view("<u1")
+            [base:base + size].tobytes())

@@ -507,7 +507,9 @@ def _decode_window_stream(stream, table_window, mesh: Mesh,
 
 
 @functools.lru_cache(maxsize=8)
-def _sharded_decode_bulk(mesh: Mesh, lit_rows: int, rec_rows: int):
+def _sharded_decode_bulk(mesh: Mesh, lit_rows: int, rec_rows: int,
+                         out_rows: int = DK.OUT_ROWS,
+                         max_win: int = DBK.MAX_WIN):
     """jit(shard_map(bulk record-stream kernel)) over the block axis."""
     spec = P(mesh_mod.BLOCK_AXIS)
 
@@ -518,13 +520,16 @@ def _sharded_decode_bulk(mesh: Mesh, lit_rows: int, rec_rows: int):
     def run(lit_words, rec_words, meta):
         interp = jax.default_backend() == "cpu"
         return DBK.decode_bulk_batch(lit_words, rec_words, meta,
-                                     interpret=interp)
+                                     interpret=interp, out_rows=out_rows,
+                                     max_win=max_win)
 
     return run
 
 
 @functools.lru_cache(maxsize=8)
-def _sharded_decode_bulk2(mesh: Mesh, lit_rows: int, rec_rows: int):
+def _sharded_decode_bulk2(mesh: Mesh, lit_rows: int, rec_rows: int,
+                          out_rows: int = DK.OUT_ROWS,
+                          max_win: int = DBK.MAX_WIN):
     """Pair variant: block pairs (2g, 2g+1) decode co-scheduled against a
     merged record stream. B is a multiple of 2*n_dev so every pair is
     device-local (lit sharded B-ways, rec/meta sharded B/2-ways)."""
@@ -537,19 +542,23 @@ def _sharded_decode_bulk2(mesh: Mesh, lit_rows: int, rec_rows: int):
     def run(lit_words, rec2_words, meta2):
         interp = jax.default_backend() == "cpu"
         return DBK.decode_bulk2_batch(lit_words, rec2_words, meta2,
-                                      interpret=interp)
+                                      interpret=interp, out_rows=out_rows,
+                                      max_win=max_win)
 
     return run
 
 
 def _decode_window_bulk(stream, table_window, mesh: Mesh,
-                        pair: bool = False) -> List[bytes]:
+                        pair: bool = False,
+                        dictionary: Optional[bytes] = None) -> List[bytes]:
     """Decode one window of blocks via the bulk path: host C++ resolver
     (native.bulk_prep, GB/s-class token work) feeding the wave-free
     record-stream kernel — per-block, or two-block co-scheduled when
     ``pair`` (merged record streams hide the per-gang dependence chain).
-    Blocks the resolver rejects (pathologically fragmented streams) fall
-    back to the fused on-chip parser.
+    With ``dictionary`` the resolver works in the dict-extended output
+    space (the dictionary staged as a literal-plane copy; up to a third
+    2 MiB window). Blocks the resolver rejects (pathologically fragmented
+    streams) fall back to the fused on-chip parser.
 
     Multi-process: the resolver runs SHARD-LOCALLY — each process preps
     only the blocks its devices hold (the host-side twin of the upstream
@@ -561,7 +570,8 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
     from ..runtime import native
 
     if not native.available():  # resolver lives in the native core
-        return _decode_window_stream(stream, table_window, mesh, None)
+        return _decode_window_stream(stream, table_window, mesh, dictionary)
+    base = len(dictionary) if dictionary else 0
     n = len(table_window)
     n_dev = mesh.devices.size
     gran = 2 * n_dev if pair else n_dev  # pairs must be device-local
@@ -585,7 +595,7 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
 
     def prep(b):
         off, psz, ext = table_window[b]
-        preps[b] = native.bulk_prep(stream[off:off + psz], ext)
+        preps[b] = native.bulk_prep(stream[off:off + psz], ext, dictionary)
 
     with ThreadPoolExecutor() as pool:  # C releases the GIL
         list(pool.map(prep, local_blocks))
@@ -623,10 +633,13 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
         lit_rows = int(allv[:, 1].max())
         rec_rows = int(allv[:, 2].max())
     if fallback:
-        return _decode_window_stream(stream, table_window, mesh, None)
+        return _decode_window_stream(stream, table_window, mesh, dictionary)
     # bucket plane rows across the batch (recompile-bounded)
     lit_rows = _round_up(lit_rows, 64)
     rec_rows = _round_up(rec_rows, 512)
+    # dict-extended output space may span a third 2 MiB window
+    out_rows = 3 * DBK.WIN_ROWS if base else DK.OUT_ROWS
+    max_win = 3 if base else DBK.MAX_WIN
 
     # decoded sizes come from the 3-byte declared-size headers — no
     # resolver needed, so host-0 assembly works without remote preps
@@ -655,7 +668,8 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
                 out[g - lo] = merged[g][1].astype(np.int64).astype(np.int32)
             return out
 
-        host = _to_host0(_sharded_decode_bulk2(mesh, lit_rows, rec_rows)(
+        host = _to_host0(_sharded_decode_bulk2(
+            mesh, lit_rows, rec_rows, out_rows, max_win)(
             lit_dev,
             _device_put_rows((B // 2, rec_rows, DK.LANES), np.int32,
                              sharding, pack_rec2),
@@ -673,14 +687,15 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
                 out[b - lo] = preps[b][2].astype(np.int64).astype(np.int32)
             return out
 
-        host = _to_host0(_sharded_decode_bulk(mesh, lit_rows, rec_rows)(
+        host = _to_host0(_sharded_decode_bulk(
+            mesh, lit_rows, rec_rows, out_rows, max_win)(
             lit_dev,
             _device_put_rows((B, rec_rows, DK.LANES), np.int32, sharding,
                              pack_rec),
             _device_put_rows((B, 8), np.int32, sharding, pack_meta)))
     if host is None:  # nonzero process: host 0 holds the output
         return [b""] * n
-    return [host[b].reshape(-1).view("<u1")[:sizes[b]].tobytes()
+    return [host[b].reshape(-1).view("<u1")[base:base + sizes[b]].tobytes()
             for b in range(n)]
 
 
@@ -878,12 +893,11 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
         win = table[lo:lo + window_blocks]
         if not win:
             continue
-        if impl in ("bulk", "bulk2") and dictionary is None:
+        if impl in ("bulk", "bulk2"):
             blocks_out = _decode_window_bulk(stream, win, mesh,
-                                             pair=impl == "bulk2")
-        elif impl in ("stream", "bulk", "bulk2"):
-            # bulk with a dictionary rides the fused parser (the preset
-            # context is staged on-device there)
+                                             pair=impl == "bulk2",
+                                             dictionary=dictionary)
+        elif impl == "stream":
             blocks_out = _decode_window_stream(stream, win, mesh,
                                                dictionary)
         elif impl == "xla":

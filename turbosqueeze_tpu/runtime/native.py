@@ -95,6 +95,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_uint64,
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
     ]
+    lib.tsq_bulk_prep_dict.restype = ctypes.c_int64
+    lib.tsq_bulk_prep_dict.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+    ]
     lib.tsq_bulk_merge2.restype = ctypes.c_int64
     lib.tsq_bulk_merge2.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -289,14 +296,18 @@ def tokenize_block(payload: bytes, ext: bool, dict_len: int = 0):
 BULK_FALLBACK = -100  # stream too fragmented for the bulk formulation
 
 
-def bulk_prep(payload: bytes, ext: bool):
+def bulk_prep(payload: bytes, ext: bool, dictionary: bytes = None):
     """Resolve one block payload into the bulk-decode planes
     (csrc/tsq_bulk.cpp): compacted literal bytes, row-grouped record
     stream, and the meta words (size, n_windows, lit bytes, record words,
     per-window record offsets). Returns (lit u8[], rec u32[], meta u32[]).
-    Raises FormatError on malformed payloads; returns None when the
-    stream is too fragmented for the bulk formulation (caller should
-    decode that block through the fused-parser path instead)."""
+    With ``dictionary`` the planes cover the dict-extended output space
+    [0, dict_len + size) (the dictionary staged as a literal-plane copy —
+    the resolver twin of the guard-region decode); the caller slices the
+    decoded rows at [dict_len, dict_len + size). Raises FormatError on
+    malformed payloads; returns None when the stream is too fragmented
+    for the bulk formulation (caller should decode that block through
+    the fused-parser path instead)."""
     import numpy as np
 
     from ..format import FormatError
@@ -307,14 +318,22 @@ def bulk_prep(payload: bytes, ext: bool):
     padded = payload + bytes(64)
     size = (payload[0] | (payload[1] << 8) | (payload[2] << 16)
             if len(payload) >= 3 else 0)
-    lit = np.empty(size + 64, dtype=np.uint8)
+    dlen = len(dictionary) if dictionary else 0
+    lit = np.empty(dlen + size + 64, dtype=np.uint8)
     meta = np.zeros(8, dtype=np.uint32)
     rec_cap = (1 << 19)  # 2 MiB; grown on overflow
     while True:
         rec = np.empty(rec_cap, dtype=np.uint32)
-        n = lib.tsq_bulk_prep(padded, len(payload), 1 if ext else 0,
-                              lit.ctypes.data, lit.shape[0],
-                              rec.ctypes.data, rec_cap, meta.ctypes.data)
+        if dlen:
+            n = lib.tsq_bulk_prep_dict(
+                padded, len(payload), 1 if ext else 0, dictionary, dlen,
+                lit.ctypes.data, lit.shape[0],
+                rec.ctypes.data, rec_cap, meta.ctypes.data)
+        else:
+            n = lib.tsq_bulk_prep(
+                padded, len(payload), 1 if ext else 0,
+                lit.ctypes.data, lit.shape[0],
+                rec.ctypes.data, rec_cap, meta.ctypes.data)
         if n == -101 and rec_cap < (1 << 24):  # overflow: retry bigger
             rec_cap *= 4
             continue
