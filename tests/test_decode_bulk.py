@@ -176,6 +176,19 @@ def test_pipeline_impl_bulk_dictionary(impl):
     assert pipeline.decompress(stream, impl=impl, dictionary=d) == data
 
 
+def test_decompress_to_file_bulk(tmp_path):
+    """Per-host file writes through the bulk kernels (CLI file path)."""
+    from turbosqueeze_tpu.runtime import native
+
+    data = synthetic_text((1 << 22) + 60_000, seed=95)  # 2 blocks
+    stream = native.compress(data, True, level=1)
+    for impl in ("bulk", "bulk2"):
+        out = tmp_path / f"out_{impl}.bin"
+        n = pipeline.decompress_to_file(stream, str(out), impl=impl)
+        assert n == len(data)
+        assert out.read_bytes() == data
+
+
 def test_pipeline_impl_bulk2_multiblock():
     """Co-scheduled pair kernel through the public pipeline: odd block
     count (pair padding) and a ragged tail block."""

@@ -548,17 +548,18 @@ def _sharded_decode_bulk2(mesh: Mesh, lit_rows: int, rec_rows: int,
     return run
 
 
-def _decode_window_bulk(stream, table_window, mesh: Mesh,
-                        pair: bool = False,
-                        dictionary: Optional[bytes] = None) -> List[bytes]:
-    """Decode one window of blocks via the bulk path: host C++ resolver
-    (native.bulk_prep, GB/s-class token work) feeding the wave-free
-    record-stream kernel — per-block, or two-block co-scheduled when
-    ``pair`` (merged record streams hide the per-gang dependence chain).
-    With ``dictionary`` the resolver works in the dict-extended output
-    space (the dictionary staged as a literal-plane copy; up to a third
-    2 MiB window). Blocks the resolver rejects (pathologically fragmented
-    streams) fall back to the fused on-chip parser.
+def _bulk_window_words(stream, table_window, mesh: Mesh,
+                       pair: bool = False,
+                       dictionary: Optional[bytes] = None):
+    """Decode one window of blocks via the bulk path into SHARDED device
+    words: host C++ resolver (native.bulk_prep, GB/s-class token work)
+    feeding the wave-free record-stream kernel — per-block, or two-block
+    co-scheduled when ``pair`` (merged record streams hide the per-gang
+    dependence chain). With ``dictionary`` the resolver works in the
+    dict-extended output space (the dictionary staged as a literal-plane
+    copy; up to a third 2 MiB window). Returns (words, base), or None
+    when any block needs the fused-parser fallback (pathologically
+    fragmented streams) or the native core is absent.
 
     Multi-process: the resolver runs SHARD-LOCALLY — each process preps
     only the blocks its devices hold (the host-side twin of the upstream
@@ -570,7 +571,7 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
     from ..runtime import native
 
     if not native.available():  # resolver lives in the native core
-        return _decode_window_stream(stream, table_window, mesh, dictionary)
+        return None
     base = len(dictionary) if dictionary else 0
     n = len(table_window)
     n_dev = mesh.devices.size
@@ -633,18 +634,13 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
         lit_rows = int(allv[:, 1].max())
         rec_rows = int(allv[:, 2].max())
     if fallback:
-        return _decode_window_stream(stream, table_window, mesh, dictionary)
+        return None
     # bucket plane rows across the batch (recompile-bounded)
     lit_rows = _round_up(lit_rows, 64)
     rec_rows = _round_up(rec_rows, 512)
     # dict-extended output space may span a third 2 MiB window
     out_rows = 3 * DBK.WIN_ROWS if base else DK.OUT_ROWS
     max_win = 3 if base else DBK.MAX_WIN
-
-    # decoded sizes come from the 3-byte declared-size headers — no
-    # resolver needed, so host-0 assembly works without remote preps
-    sizes = [stream[off] | (stream[off + 1] << 8) | (stream[off + 2] << 16)
-             if psz >= 3 else 0 for off, psz, _ in table_window]
 
     def pack_lit(lo, hi):
         out = np.zeros((hi - lo, lit_rows, DK.LANES), np.int32)
@@ -668,12 +664,12 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
                 out[g - lo] = merged[g][1].astype(np.int64).astype(np.int32)
             return out
 
-        host = _to_host0(_sharded_decode_bulk2(
+        words = _sharded_decode_bulk2(
             mesh, lit_rows, rec_rows, out_rows, max_win)(
             lit_dev,
             _device_put_rows((B // 2, rec_rows, DK.LANES), np.int32,
                              sharding, pack_rec2),
-            _device_put_rows((B // 2, 8), np.int32, sharding, pack_meta2)))
+            _device_put_rows((B // 2, 8), np.int32, sharding, pack_meta2))
     else:
         def pack_rec(lo, hi):
             out = np.zeros((hi - lo, rec_rows, DK.LANES), np.int32)
@@ -687,12 +683,29 @@ def _decode_window_bulk(stream, table_window, mesh: Mesh,
                 out[b - lo] = preps[b][2].astype(np.int64).astype(np.int32)
             return out
 
-        host = _to_host0(_sharded_decode_bulk(
+        words = _sharded_decode_bulk(
             mesh, lit_rows, rec_rows, out_rows, max_win)(
             lit_dev,
             _device_put_rows((B, rec_rows, DK.LANES), np.int32, sharding,
                              pack_rec),
-            _device_put_rows((B, 8), np.int32, sharding, pack_meta)))
+            _device_put_rows((B, 8), np.int32, sharding, pack_meta))
+    return words, base
+
+
+def _decode_window_bulk(stream, table_window, mesh: Mesh,
+                        pair: bool = False,
+                        dictionary: Optional[bytes] = None) -> List[bytes]:
+    """Bulk-path window decode -> host-0 assembled bytes; falls back to
+    the fused on-chip parser when the resolver rejects a block."""
+    r = _bulk_window_words(stream, table_window, mesh, pair, dictionary)
+    if r is None:
+        return _decode_window_stream(stream, table_window, mesh, dictionary)
+    words, base = r
+    n = len(table_window)
+    # decoded sizes come from the 3-byte declared-size headers — no
+    # resolver needed, so host-0 assembly works without remote preps
+    sizes = _declared_sizes(stream, table_window)
+    host = _to_host0(words)
     if host is None:  # nonzero process: host 0 holds the output
         return [b""] * n
     return [host[b].reshape(-1).view("<u1")[base:base + sizes[b]].tobytes()
@@ -855,9 +868,10 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     """Full device decode -> ordered host assembly (the writer-thread role).
 
     impl: 'bulk' = host C++ resolver + wave-free record-stream kernel
-    (kernels/decode_bulk.py — no on-chip parse, no RMW chains); 'bulk2' =
-    its two-block co-scheduled variant (merged record streams, the
-    fastest measured kernel — pairs decode together on each device);
+    (kernels/decode_bulk.py — no on-chip parse, no RMW chains; preset
+    dictionaries ride the dict-extended resolver space); 'bulk2' = its
+    two-block co-scheduled variant (merged record streams, the fastest
+    measured kernel — pairs decode together on each device);
     'stream' = the fused on-chip parser (raw payload is the only device
     input — phase A AND B on chip);
     'pallas' = the token-chunk kernel (host tokenize + on-chip byte
@@ -939,10 +953,10 @@ def decompress_to_file(stream: bytes, out_path, mesh: Optional[Mesh] = None,
 
     if impl == "auto":
         impl = "stream" if jax.default_backend() == "tpu" else "xla"
-    if impl not in ("stream", "xla"):
+    if impl not in ("stream", "xla", "bulk", "bulk2"):
         raise ValueError(
-            f"decompress_to_file supports impl 'stream' or 'xla', "
-            f"got {impl!r}")
+            f"decompress_to_file supports impl 'stream', 'xla', 'bulk' "
+            f"or 'bulk2', got {impl!r}")
     if mesh is None:
         mesh = mesh_mod.block_mesh()
     if window_blocks <= 0:
@@ -970,7 +984,18 @@ def decompress_to_file(stream: bytes, out_path, mesh: Optional[Mesh] = None,
             sizes = [stream[off] | (stream[off + 1] << 8)
                      | (stream[off + 2] << 16) if psz >= 3 else 0
                      for off, psz, _ in win]
-            if impl == "stream":
+            eff = impl
+            words = None
+            if impl in ("bulk", "bulk2"):
+                r = _bulk_window_words(stream, win, mesh, impl == "bulk2",
+                                       dictionary)
+                if r is None:  # resolver fallback: fused parser window
+                    eff = "stream"
+                else:
+                    words, _base = r
+            if words is not None:
+                pass
+            elif eff == "stream":
                 out_rows = DK.OUT_ROWS + ((_DICT_PAD // DK.ROW_BYTES)
                                           if dlen else 0)
 
@@ -1039,7 +1064,7 @@ def decompress_to_file(stream: bytes, out_path, mesh: Optional[Mesh] = None,
                         continue
                     size = sizes[blo + b]
                     f.seek(gb << 22)
-                    if impl == "stream":
+                    if eff != "xla":  # stream/bulk words are 3-D row planes
                         part = host[b].reshape(-1).view("<u1")[
                             dlen:dlen + size].tobytes()
                     else:
