@@ -903,22 +903,11 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
 
     hdr, table = scan_block_table(stream)
     parts: List[bytes] = []
-    for lo in range(0, len(table), window_blocks):
-        win = table[lo:lo + window_blocks]
-        if not win:
-            continue
-        if impl in ("bulk", "bulk2"):
-            blocks_out = _decode_window_bulk(stream, win, mesh,
-                                             pair=impl == "bulk2",
-                                             dictionary=dictionary)
-        elif impl == "stream":
-            blocks_out = _decode_window_stream(stream, win, mesh,
-                                               dictionary)
-        elif impl == "xla":
-            blocks_out = _decode_window_xla(stream, win, mesh, dictionary)
-        else:
-            blocks_out = _decode_window_pallas(stream, win, mesh,
-                                               interpret, dictionary)
+    wins = [table[lo:lo + window_blocks]
+            for lo in range(0, len(table), window_blocks)]
+    wins = [w for w in wins if w]
+
+    def emit(blocks_out):
         # per-block progress while draining the window, matching the
         # upstream writer thread's per-block cadence
         # (tsq_threads.cpp:248-254)
@@ -926,6 +915,51 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
             parts.append(part)
             if progress is not None:
                 progress(len(parts), len(table))
+
+    if impl in ("bulk", "bulk2"):
+        # one-window lookahead: dispatch window k+1's host resolve +
+        # device work BEFORE gathering window k (jax dispatch is async),
+        # so the C++ resolver overlaps the previous window's kernel —
+        # the device edition of the upstream triple-buffered rings
+        pending = None  # (win, (words, base) | assembled bytes list)
+
+        def drain(p):
+            win, r = p
+            if isinstance(r, list):  # fused-parser fallback window
+                emit(r)
+                return
+            words, base = r
+            sizes = _declared_sizes(stream, win)
+            host = _to_host0(words)
+            if host is None:
+                emit([b""] * len(win))
+                return
+            emit([host[b].reshape(-1).view("<u1")
+                  [base:base + sizes[b]].tobytes()
+                  for b in range(len(win))])
+
+        for win in wins:
+            r = _bulk_window_words(stream, win, mesh, impl == "bulk2",
+                                   dictionary)
+            cur = (win, r if r is not None else _decode_window_stream(
+                stream, win, mesh, dictionary))
+            if pending is not None:
+                drain(pending)
+            pending = cur
+        if pending is not None:
+            drain(pending)
+    else:
+        for win in wins:
+            if impl == "stream":
+                blocks_out = _decode_window_stream(stream, win, mesh,
+                                                   dictionary)
+            elif impl == "xla":
+                blocks_out = _decode_window_xla(stream, win, mesh,
+                                                dictionary)
+            else:
+                blocks_out = _decode_window_pallas(stream, win, mesh,
+                                                   interpret, dictionary)
+            emit(blocks_out)
     out = b"".join(parts)
     # multi-process: the decoded bytes are assembled on host 0 only
     # (_to_host0) — nonzero ranks return b"" by contract
