@@ -532,60 +532,80 @@ int64_t tsq_bulk_prep_dict(const uint8_t* in, uint64_t in_size, int ext,
 
 namespace tsq {
 
-// Zip two blocks' record streams into one strictly-alternating stream for
-// the two-block co-scheduled kernel (decode_bulk2): per window, entries
-// alternate A,B,A,B..., padding the shorter side with empty entries
-// (row 0, zero records). Strict alternation lets the kernel process one
-// A-entry and one B-entry per straight-line loop body against SEPARATE
-// scratch refs — the only reliable way to overlap their gather chains
-// (Mosaic neither pipelines across loop iterations nor past conds).
-// meta2: [sizeA, sizeB, n_winA, n_winB, off_w0.., off_w(max)] over the
-// merged stream. Returns merged words or kBulkOverflow.
-int64_t bulk_merge2(const uint32_t* ra, const uint32_t* ma,
-                    const uint32_t* rb, const uint32_t* mb,
-                    uint32_t* out, uint64_t cap, uint32_t* meta2) {
-  meta2[0] = ma[0];
-  meta2[1] = mb[0];
-  meta2[2] = ma[1];
-  meta2[3] = mb[1];
+// Zip N blocks' record streams into one strictly round-robin stream for
+// the co-scheduled kernel (decode_bulkn): per window, entries cycle
+// 0,1,..,N-1,0,1,.., padding exhausted streams with empty entries
+// (row 0, zero records). Strict rotation lets the kernel process one
+// entry per block per straight-line loop body against SEPARATE scratch
+// refs — the only reliable way to overlap their gather chains (Mosaic
+// neither pipelines across loop iterations nor past conds).
+// metan (kBulkMetaNWords): [k] = size_k, [4+k] = n_win_k (k < 4),
+// [8+w] = merged-stream boundary of window w ([8] = 0; window w spans
+// [metan[8+w], metan[9+w])). Returns merged words or kBulkOverflow.
+int64_t bulk_mergen(const uint32_t* const* recs, const uint32_t* const* mas,
+                    uint32_t nblk, uint32_t* out, uint64_t cap,
+                    uint32_t* metan) {
+  if (nblk == 0 || nblk > 4) return kBulkOverflow;
+  for (uint32_t w = 0; w < kBulkMetaNWords; ++w) metan[w] = 0;
+  uint32_t n_win = 0;
+  for (uint32_t k = 0; k < nblk; ++k) {
+    metan[k] = mas[k][0];
+    metan[4 + k] = mas[k][1];
+    if (mas[k][1] > n_win) n_win = mas[k][1];
+  }
   uint64_t n = 0;
-  uint32_t n_win = ma[1] > mb[1] ? ma[1] : mb[1];
-  meta2[4] = 0;
   auto entry_len = [](const uint32_t* r, uint32_t p) {
     uint32_t h1 = r[p + 1];
     return 2 + 2 * ((h1 >> 16) + (h1 & 0xFFFF));
   };
   for (uint32_t w = 0; w < n_win; ++w) {
-    uint32_t pa = ma[4 + w], ea = ma[5 + w];
-    uint32_t pb = mb[4 + w], eb = mb[5 + w];
-    while (pa < ea || pb < eb) {
-      if (n + 2 * (uint64_t)(2 + 2 * kBulkMaxEntryRecs) > cap)
+    uint32_t p[4], e[4];
+    for (uint32_t k = 0; k < nblk; ++k) {
+      p[k] = mas[k][4 + w];
+      e[k] = mas[k][5 + w];
+    }
+    for (;;) {
+      bool live = false;
+      for (uint32_t k = 0; k < nblk; ++k) live |= p[k] < e[k];
+      if (!live) break;
+      if (n + nblk * (uint64_t)(2 + 2 * kBulkMaxEntryRecs) > cap)
         return kBulkOverflow;
-      if (pa < ea) {
-        uint32_t l = entry_len(ra, pa);
-        std::memcpy(out + n, ra + pa, 4 * l);
-        n += l;
-        pa += l;
-      } else {
-        out[n++] = 0;  // empty A entry
-        out[n++] = 0;
-      }
-      if (pb < eb) {
-        uint32_t l = entry_len(rb, pb);
-        std::memcpy(out + n, rb + pb, 4 * l);
-        n += l;
-        pb += l;
-      } else {
-        out[n++] = 0;  // empty B entry
-        out[n++] = 0;
+      for (uint32_t k = 0; k < nblk; ++k) {
+        if (p[k] < e[k]) {
+          uint32_t l = entry_len(recs[k], p[k]);
+          std::memcpy(out + n, recs[k] + p[k], 4 * l);
+          n += l;
+          p[k] += l;
+        } else {
+          out[n++] = 0;  // empty entry for an exhausted stream
+          out[n++] = 0;
+        }
       }
     }
-    if (5 + w < kBulkMetaWords) meta2[5 + w] = (uint32_t)n;
+    if (9 + w < kBulkMetaNWords) metan[9 + w] = (uint32_t)n;
   }
-  for (uint32_t w = n_win; 5 + w < kBulkMetaWords + 0 && w <= kBulkMaxWin;
-       ++w)
-    meta2[5 + w] = (uint32_t)n;
+  for (uint32_t w = n_win; 9 + w < kBulkMetaNWords; ++w)
+    metan[9 + w] = (uint32_t)n;
   return (int64_t)n;
+}
+
+// Two-block zip, kept for the decode_bulk2 kernel's 8-word meta ABI:
+// meta2: [sizeA, sizeB, n_winA, n_winB, off_w0.., off_w(max)] over the
+// merged stream. The stream bytes are mergen's n=2 rotation verbatim.
+int64_t bulk_merge2(const uint32_t* ra, const uint32_t* ma,
+                    const uint32_t* rb, const uint32_t* mb,
+                    uint32_t* out, uint64_t cap, uint32_t* meta2) {
+  const uint32_t* recs[2] = {ra, rb};
+  const uint32_t* mas[2] = {ma, mb};
+  uint32_t metan[kBulkMetaNWords];
+  int64_t n = bulk_mergen(recs, mas, 2, out, cap, metan);
+  if (n < 0) return n;
+  meta2[0] = metan[0];
+  meta2[1] = metan[1];
+  meta2[2] = metan[4];
+  meta2[3] = metan[5];
+  for (uint32_t w = 0; 4 + w < kBulkMetaWords; ++w) meta2[4 + w] = metan[8 + w];
+  return n;
 }
 
 }  // namespace tsq
@@ -596,6 +616,12 @@ int64_t tsq_bulk_merge2(const uint32_t* ra, const uint32_t* ma,
                         const uint32_t* rb, const uint32_t* mb,
                         uint32_t* out, uint64_t cap, uint32_t* meta2) {
   return tsq::bulk_merge2(ra, ma, rb, mb, out, cap, meta2);
+}
+
+int64_t tsq_bulk_mergen(const uint32_t* const* recs,
+                        const uint32_t* const* metas, uint32_t nblk,
+                        uint32_t* out, uint64_t cap, uint32_t* metan) {
+  return tsq::bulk_mergen(recs, metas, nblk, out, cap, metan);
 }
 
 }  // extern "C"

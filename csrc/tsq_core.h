@@ -199,6 +199,9 @@ constexpr uint32_t kBulkTailRows = 130;        // >= (65534 + 64) / 512
 constexpr uint32_t kBulkTail = kBulkTailRows * 512;
 constexpr uint32_t kBulkMaxWin = kBlockSize / kBulkWin;
 constexpr uint32_t kBulkMetaWords = 8;
+// N-way merged-stream meta (bulk_mergen): sizes [0..3], n_win [4..7],
+// merged window boundaries [8..15] ([8] = 0)
+constexpr uint32_t kBulkMetaNWords = 16;
 // a match source resolving to more than this many final pieces is NOT
 // split (splitting cascades fragmentation); it defers to a W-space record
 constexpr int kBulkResolveK = 1;

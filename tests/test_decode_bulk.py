@@ -141,6 +141,38 @@ def test_two_block_coschedule():
         assert host[k].reshape(-1).view("<u1")[:sizes[k]].tobytes() == d
 
 
+@pytest.mark.parametrize("nblk", [3, 4])
+def test_nway_coschedule(nblk):
+    """The general N-way kernel (round-robin merged streams, one scratch
+    pair per block) must agree bit-exactly across mixed levels and the
+    pad-to-multiple empty blocks."""
+    from turbosqueeze_tpu.runtime import native
+
+    datas = [synthetic_text(700_000, seed=41),
+             bytes(300_000),
+             synthetic_binary(500_000, seed=43),
+             synthetic_text(250_000, seed=44),
+             np.random.default_rng(7).bytes(400_000)]  # 5 -> pad to 6/8
+    pe = [(native.compress(d, True, level=lv)[19:], True)
+          for d, lv in zip(datas, (0, 1, 2, 1, 0))]
+    planes = DB.prep_batchn(pe, nblk)
+    assert planes is not None
+    lw, rw, mn, sizes = planes
+    assert lw.shape[0] % nblk == 0
+    host = np.asarray(DB.decode_bulkn_batch(lw, rw, mn, nblk=nblk,
+                                            interpret=True))
+    for k, d in enumerate(datas):
+        assert host[k].reshape(-1).view("<u1")[:sizes[k]].tobytes() == d
+
+
+def test_coschedule_fit_budget():
+    """VMEM auto-fit: small literal planes admit 4-way co-scheduling,
+    full-block literal planes cap at lower N."""
+    assert DB.best_coschedule(64) == 4
+    assert DB.best_coschedule(DB.rows_for_bytes(1 << 22)) <= 2
+    assert DB.best_coschedule(10**9) == 1
+
+
 def test_pipeline_impl_bulk_multiblock():
     from turbosqueeze_tpu.runtime import native
 

@@ -411,6 +411,175 @@ def _decode_bulk2_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u0_ref, w0_ref,
     vring_copy(waited + 2).wait()
 
 
+def _decode_bulkn_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
+                         nblk, lit_rows, rec_rows, out_rows,
+                         max_win=MAX_WIN):
+    """N-way co-schedule (general form of the pair kernel): one merged,
+    strictly round-robin record stream (csrc bulk_mergen) drives nblk
+    blocks against SEPARATE scratch refs, one entry per block per
+    straight-line loop body. More co-scheduled chains hide more of the
+    per-gang crossbar latency that bounds the single-block kernel; nblk
+    is capped by VMEM (each block needs its own literal+window planes —
+    see coschedule_fit). Stream meta is the 16-word bulk_mergen layout:
+    sizes [0..3], n_win [4..7], window boundaries [8..15]."""
+    uw = refs[:2 * nblk]
+    ring_ref, vring_ref = refs[2 * nblk:2 * nblk + 2]
+    sem_lit, sem_out, sem_ring, sem_vring = refs[2 * nblk + 2:]
+    g = pl.program_id(0)
+    n_wins = [meta_ref[g, 4 + k] for k in range(nblk)]
+
+    dlits = [pltpu.make_async_copy(
+        lit_hbm.at[nblk * g + k],
+        uw[2 * k].at[pl.ds(TAIL_ROWS, lit_rows)],
+        sem_lit.at[k]) for k in range(nblk)]
+    for d in dlits:
+        d.start()
+
+    def ring_copy(s):
+        row0 = jnp.minimum(s * 8, rec_rows - 8)
+        return pltpu.make_async_copy(
+            rec_hbm.at[g, pl.ds(row0, 8)],
+            ring_ref.at[pl.ds((s & 7) * 8, 8)], sem_ring.at[s & 7])
+
+    def vring_copy(s):
+        row0 = jnp.minimum(s * 8, rec_rows - 8)
+        return pltpu.make_async_copy(
+            rec_hbm.at[g, pl.ds(row0, 8)],
+            vring_ref.at[pl.ds((s & 7) * 8, 8)], sem_vring.at[s & 7])
+
+    for s in range(3):
+        ring_copy(s).start()
+        vring_copy(s).start()
+    ring_copy(0).wait()
+    vring_copy(0).wait()
+    for d in dlits:
+        d.wait()
+
+    word, do_entry = _machinery(ring_ref, vring_ref, lit_rows)
+    slack = _ENTRY_SLACK * nblk
+
+    def entry_round(carry):
+        p, waited = carry
+        # nblk entries per iteration: <= nblk * (2 + 2*120) words
+        hi = (p + slack) >> 10
+
+        def advance(st):
+            p_, w_ = st
+            ring_copy(w_ + 1).wait()
+            ring_copy(w_ + 3).start()
+            vring_copy(w_ + 1).wait()
+            vring_copy(w_ + 3).start()
+            return p_, w_ + 1
+
+        p, waited = jax.lax.cond(hi > waited, advance, lambda st: st,
+                                 (p, waited))
+        for k in range(nblk):
+            p = do_entry(p, uw[2 * k], uw[2 * k + 1])
+        return p, waited
+
+    waited = jnp.int32(0)
+    p = jnp.int32(0)
+    for w in range(max_win):
+        if w > 0:
+            for k in range(nblk):
+                @pl.when(w + 1 <= n_wins[k])
+                def _(k=k):
+                    _stage_tail(uw[2 * k], uw[2 * k + 1])
+
+        p_end = meta_ref[g, 9 + w]
+        p, waited = jax.lax.while_loop(lambda c: c[0] < p_end, entry_round,
+                                       (p, waited))
+
+        for k in range(nblk):
+            @pl.when(w + 1 <= n_wins[k])
+            def _(w=w, k=k):
+                d = pltpu.make_async_copy(
+                    uw[2 * k + 1].at[pl.ds(0, WIN_ROWS)],
+                    out_hbm.at[nblk * g + k,
+                               pl.ds(w * WIN_ROWS, WIN_ROWS)],
+                    sem_out.at[k])
+                d.start()
+                d.wait()
+
+    ring_copy(waited + 1).wait()
+    ring_copy(waited + 2).wait()
+    vring_copy(waited + 1).wait()
+    vring_copy(waited + 2).wait()
+
+
+# VMEM budget for coschedule_fit: 16 MiB minus rings/overhead headroom
+_VMEM_ROWS_BUDGET = (15 << 20) // ROW_BYTES
+
+
+def coschedule_fit(lit_rows: int, nblk: int) -> bool:
+    """True when nblk co-scheduled blocks' scratch planes fit VMEM:
+    nblk * (tail + literal plane + window plane) + stream mirror."""
+    per = TAIL_ROWS + lit_rows + 2 + WIN_ROWS + 2
+    return nblk * per + _REC_SLOTS * 8 + 64 <= _VMEM_ROWS_BUDGET
+
+
+def best_coschedule(lit_rows: int, max_n: int = 4) -> int:
+    """Largest nblk in [1, max_n] whose scratch planes fit VMEM."""
+    for n in range(max_n, 1, -1):
+        if coschedule_fit(lit_rows, n):
+            return n
+    return 1
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "nblk", "out_rows",
+                                    "max_win"))
+def decode_bulkn_batch(lit_words, recn_words, metan, *, nblk,
+                       interpret=False, out_rows: int = OUT_ROWS,
+                       max_win: int = MAX_WIN):
+    """N-way co-scheduled variant: block groups (nblk*g .. nblk*g+nblk-1)
+    share one merged record stream (native.bulk_mergen) and decode
+    together.
+
+    lit_words:  (B, lit_rows, 128) i32, B % nblk == 0 — per-block planes.
+    recn_words: (B//nblk, rec_rows, 128) i32 merged streams per group.
+    metan:      (B//nblk, 16) i32 — bulk_mergen meta words per group.
+    Returns (B, out_rows, 128) i32 decoded words.
+    """
+    B, lit_rows, _ = lit_words.shape
+    if B % nblk:
+        raise ValueError("decode_bulkn_batch needs B % nblk == 0")
+    if not 1 <= nblk <= 4:
+        raise ValueError("nblk must be in [1, 4]")
+    rec_rows = recn_words.shape[1]
+    if lit_rows % 8 or rec_rows % 8:
+        raise ValueError("plane rows must be multiples of 8")
+    kernel = functools.partial(_decode_bulkn_kernel, nblk=nblk,
+                               lit_rows=lit_rows, rec_rows=rec_rows,
+                               out_rows=out_rows, max_win=max_win)
+    plane_scratch = []
+    for _ in range(nblk):
+        plane_scratch.append(
+            pltpu.VMEM((TAIL_ROWS + lit_rows + 2, LANES), jnp.int32))
+        plane_scratch.append(
+            pltpu.VMEM((WIN_ROWS + 2, LANES), jnp.int32))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, out_rows, LANES), jnp.int32),
+        scratch_shapes=plane_scratch + [
+            pltpu.SMEM((_REC_SLOTS * 8, LANES), jnp.int32),
+            pltpu.VMEM((_REC_SLOTS * 8, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((nblk,)),
+            pltpu.SemaphoreType.DMA((nblk,)),
+            pltpu.SemaphoreType.DMA((_REC_SLOTS,)),
+            pltpu.SemaphoreType.DMA((_REC_SLOTS,)),
+        ],
+        interpret=interpret,
+    )(metan, lit_words, recn_words)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "out_rows", "max_win"))
 def decode_bulk_batch(lit_words, rec_words, meta, *, interpret=False,
@@ -584,6 +753,44 @@ def prep_batch2(payloads_ext):
         rec2_words[gidx] = pack_rec_words(rec, rec_rows)
         meta2[gidx] = m2.astype(np.int64).astype(np.int32)
     return lit_words, rec2_words, meta2, sizes
+
+
+def prep_batchn(payloads_ext, nblk: int):
+    """Like prep_batch2, but groups nblk blocks per merged stream for the
+    N-way co-scheduled kernel.
+
+    Returns (lit_words (Bn, LR, 128), recn_words (Bn//nblk, RR, 128),
+    metan (Bn//nblk, 16), sizes) with Bn = len rounded up to a multiple
+    of nblk, or None if any block needs the fused-parser fallback.
+    """
+    from ..runtime import native
+
+    preps, sizes = [], []
+    for payload, ext in payloads_ext:
+        r = native.bulk_prep(payload, ext)
+        if r is None:
+            return None
+        preps.append(r)
+        sizes.append(int(r[2][0]))
+    while len(preps) % nblk:  # pad with empty blocks
+        preps.append((np.zeros(0, np.uint8), np.zeros(0, np.uint32),
+                      np.zeros(8, np.uint32)))
+    Bn = len(preps)
+    merged = [native.bulk_mergen(
+        [preps[nblk * g + k][1] for k in range(nblk)],
+        [preps[nblk * g + k][2] for k in range(nblk)])
+        for g in range(Bn // nblk)]
+    lit_rows = max(rows_for_bytes(len(p[0])) for p in preps)
+    rec_rows = max(rows_for_bytes(4 * len(m[0])) for m in merged)
+    lit_words = np.zeros((Bn, lit_rows, LANES), np.int32)
+    recn_words = np.zeros((Bn // nblk, rec_rows, LANES), np.int32)
+    metan = np.zeros((Bn // nblk, 16), np.int32)
+    for k, p in enumerate(preps):
+        lit_words[k] = pack_lit_words(p[0], lit_rows)
+    for gidx, (rec, m) in enumerate(merged):
+        recn_words[gidx] = pack_rec_words(rec, rec_rows)
+        metan[gidx] = m.astype(np.int64).astype(np.int32)
+    return lit_words, recn_words, metan, sizes
 
 
 def decode_bulk_block(payload: bytes, ext: bool, interpret: bool = True,

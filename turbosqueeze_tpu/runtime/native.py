@@ -107,6 +107,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
     ]
+    lib.tsq_bulk_mergen.restype = ctypes.c_int64
+    lib.tsq_bulk_mergen.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+    ]
     lib.tsq_build_candidates.restype = None
     lib.tsq_build_candidates.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_void_p]
@@ -367,6 +372,32 @@ def bulk_merge2(rec_a, meta_a, rec_b, meta_b):
     if n < 0:
         raise RuntimeError(f"bulk merge failed (code {n})")
     return out[:int(n)], meta2
+
+
+def bulk_mergen(recs, metas):
+    """Zip N (<= 4) blocks' bulk record streams into one strictly
+    round-robin merged stream for the N-way co-scheduled kernel. Returns
+    (merged u32[], metan u32[16]): sizes [0..3], n_win [4..7], merged
+    window boundaries [8..15] ([8] = 0)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    nblk = len(recs)
+    assert 1 <= nblk <= 4 and len(metas) == nblk
+    recs = [np.ascontiguousarray(r, dtype=np.uint32) for r in recs]
+    metas = [np.ascontiguousarray(m, dtype=np.uint32) for m in metas]
+    cap = 2 * sum(len(r) for r in recs) + 4096
+    out = np.empty(cap, dtype=np.uint32)
+    metan = np.zeros(16, dtype=np.uint32)
+    rp = (ctypes.c_void_p * nblk)(*[r.ctypes.data for r in recs])
+    mp = (ctypes.c_void_p * nblk)(*[m.ctypes.data for m in metas])
+    n = lib.tsq_bulk_mergen(rp, mp, nblk, out.ctypes.data, cap,
+                            metan.ctypes.data)
+    if n < 0:
+        raise RuntimeError(f"bulk mergen failed (code {n})")
+    return out[:int(n)], metan
 
 
 # Per-block progress callback plumbing (the upstream writer thread's
