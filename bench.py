@@ -117,8 +117,9 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
     kernels/decode_stream.py); 'bulk': the wave-free record-stream kernel
     (host resolver + kernels/decode_bulk.py); 'bulk2': its two-block
     co-scheduled variant (merged record streams hide the per-gang
-    dependence chain). Every block of every timed batch shape is
-    verified bit-exact before timing.
+    dependence chain); 'bulk3'/'bulk4': the general N-way co-schedule
+    (round-robin merged streams, decode_bulkn_batch). Every block of
+    every timed batch shape is verified bit-exact before timing.
 
     Per-call timings through a tunneled runtime carry a large fixed
     dispatch/sync overhead (and async timings without a real result fetch
@@ -139,6 +140,7 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
     n_src = len(blocks)
     sizes = [min(len(data) - (k << 22), 1 << 22) for k in range(n_src)]
 
+    nway = {"bulk2": 2, "bulk3": 3, "bulk4": 4}.get(kernel, 0)
     if kernel == "bulk":
         planes = DB.prep_batch(blocks)
         assert planes is not None, "bulk prep fell back on bench corpus"
@@ -148,17 +150,23 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
         assert planes is not None, "bulk prep fell back on bench corpus"
         lit_words, rec_words, meta, _ = planes
         n_src = (n_src // 2) * 2 or 2  # co-scheduled pairs
+    elif nway:
+        planes = DB.prep_batchn(blocks, nway)
+        assert planes is not None, "bulk prep fell back on bench corpus"
+        lit_words, rec_words, meta, _ = planes
+        n_src = (n_src // nway) * nway or nway  # co-scheduled groups
 
     def make_args(B):
-        if kernel == "bulk2":
+        if nway:
+            B = max(nway, (B // nway) * nway)
             lw = np.zeros((B,) + lit_words.shape[1:], np.int32)
-            rw = np.zeros((B // 2,) + rec_words.shape[1:], np.int32)
-            mt = np.zeros((B // 2, 8), np.int32)
+            rw = np.zeros((B // nway,) + rec_words.shape[1:], np.int32)
+            mt = np.zeros((B // nway, meta.shape[1]), np.int32)
             for b in range(B):
                 lw[b] = lit_words[b % n_src]
-            for g in range(B // 2):
-                rw[g] = rec_words[g % (n_src // 2)]
-                mt[g] = meta[g % (n_src // 2)]
+            for g in range(B // nway):
+                rw[g] = rec_words[g % (n_src // nway)]
+                mt[g] = meta[g % (n_src // nway)]
             args = [jax.device_put(x) for x in (lw, rw, mt)]
         elif kernel == "bulk":
             lw = np.zeros((B,) + lit_words.shape[1:], np.int32)
@@ -186,11 +194,13 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
             return DB.decode_bulk_batch(*args)
         if kernel == "bulk2":
             return DB.decode_bulk2_batch(*args)
+        if nway:
+            return DB.decode_bulkn_batch(*args, nblk=nway)
         return DS.decode_stream_batch(*args)
 
     def timed(B, reps=3):
-        if kernel == "bulk2":
-            B = max(2, (B // 2) * 2)
+        if nway:
+            B = max(nway, (B // nway) * nway)
         args, sz = make_args(B)
         host = np.asarray(run(args))
         for b in range(B):  # verify EVERY timed block, repeats included
@@ -205,9 +215,9 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
         return (time.perf_counter() - t0) / reps, sz
 
     t0 = time.time()
-    t1, sz1 = timed(2 if kernel == "bulk2" else 1)
+    t1, sz1 = timed(nway or 1)
     log(f"tpu[{kernel}]: kernel compile+verify {time.time() - t0:.0f}s")
-    b2 = min(16, max(2, n_src))
+    b2 = min(16, max(nway or 2, n_src))
     t2, sz2 = timed(b2)
     per_byte = (t2 - t1) / (sz2 - sz1)
     return 1e-6 / per_byte

@@ -198,7 +198,7 @@ def test_bulk_dictionary_decode():
     assert got == data
 
 
-@pytest.mark.parametrize("impl", ["bulk", "bulk2"])
+@pytest.mark.parametrize("impl", ["bulk", "bulk2", "bulkn"])
 def test_pipeline_impl_bulk_dictionary(impl):
     from turbosqueeze_tpu.runtime import native
 
@@ -214,7 +214,7 @@ def test_decompress_to_file_bulk(tmp_path):
 
     data = synthetic_text((1 << 22) + 60_000, seed=95)  # 2 blocks
     stream = native.compress(data, True, level=1)
-    for impl in ("bulk", "bulk2"):
+    for impl in ("bulk", "bulk2", "bulkn"):
         out = tmp_path / f"out_{impl}.bin"
         n = pipeline.decompress_to_file(stream, str(out), impl=impl)
         assert n == len(data)
@@ -229,3 +229,13 @@ def test_pipeline_impl_bulk2_multiblock():
     data = synthetic_text(2 * (1 << 22) + 54321, seed=18)
     stream = native.compress(data, True, level=1)
     assert pipeline.decompress(stream, impl="bulk2") == data
+
+
+def test_pipeline_impl_bulkn_multiblock():
+    """Auto N-way co-schedule through the public pipeline: group padding
+    (3 real blocks in groups of N) and a ragged tail block."""
+    from turbosqueeze_tpu.runtime import native
+
+    data = synthetic_text(2 * (1 << 22) + 54321, seed=19)
+    stream = native.compress(data, True, level=1)
+    assert pipeline.decompress(stream, impl="bulkn") == data

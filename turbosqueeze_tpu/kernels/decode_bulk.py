@@ -56,6 +56,7 @@ WIN_ROWS = WIN_BYTES // ROW_BYTES           # 4096
 TAIL_ROWS = 130                             # >= (65534 + 64) / 512
 TAIL_BYTES = TAIL_ROWS * ROW_BYTES
 MAX_WIN = 2                                 # 4 MiB block / 2 MiB window
+METAN_WORDS = 16                            # bulk_mergen meta ABI width
 
 _REC_SLOT_WORDS = 1024                      # ring slot = (8,128) i32
 _REC_SLOTS = 8
@@ -784,7 +785,7 @@ def prep_batchn(payloads_ext, nblk: int):
     rec_rows = max(rows_for_bytes(4 * len(m[0])) for m in merged)
     lit_words = np.zeros((Bn, lit_rows, LANES), np.int32)
     recn_words = np.zeros((Bn // nblk, rec_rows, LANES), np.int32)
-    metan = np.zeros((Bn // nblk, 16), np.int32)
+    metan = np.zeros((Bn // nblk, METAN_WORDS), np.int32)
     for k, p in enumerate(preps):
         lit_words[k] = pack_lit_words(p[0], lit_rows)
     for gidx, (rec, m) in enumerate(merged):

@@ -548,24 +548,52 @@ def _sharded_decode_bulk2(mesh: Mesh, lit_rows: int, rec_rows: int,
     return run
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_decode_bulkn(mesh: Mesh, nblk: int, lit_rows: int,
+                          rec_rows: int, out_rows: int = DK.OUT_ROWS,
+                          max_win: int = DBK.MAX_WIN):
+    """General N-way variant: block groups (nblk*g .. nblk*g+nblk-1)
+    decode co-scheduled against one round-robin merged record stream.
+    B is a multiple of nblk*n_dev so every group is device-local (lit
+    sharded B-ways, rec/meta sharded B/nblk-ways)."""
+    spec = P(mesh_mod.BLOCK_AXIS)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec), out_specs=spec,
+                       check_vma=False)
+    def run(lit_words, recn_words, metan):
+        interp = jax.default_backend() == "cpu"
+        return DBK.decode_bulkn_batch(lit_words, recn_words, metan,
+                                      nblk=nblk, interpret=interp,
+                                      out_rows=out_rows, max_win=max_win)
+
+    return run
+
+
 def _bulk_window_words(stream, table_window, mesh: Mesh,
-                       pair: bool = False,
+                       coschedule: int = 1,
                        dictionary: Optional[bytes] = None):
     """Decode one window of blocks via the bulk path into SHARDED device
     words: host C++ resolver (native.bulk_prep, GB/s-class token work)
-    feeding the wave-free record-stream kernel — per-block, or two-block
-    co-scheduled when ``pair`` (merged record streams hide the per-gang
-    dependence chain). With ``dictionary`` the resolver works in the
-    dict-extended output space (the dictionary staged as a literal-plane
-    copy; up to a third 2 MiB window). Returns (words, base), or None
-    when any block needs the fused-parser fallback (pathologically
-    fragmented streams) or the native core is absent.
+    feeding the wave-free record-stream kernel. ``coschedule`` picks the
+    grouping: 1 = per-block kernel, 2 = two-block pair kernel (merged
+    alternating record streams hide the per-gang dependence chain), 0 =
+    AUTO — the largest group of {4, 2} whose scratch planes fit VMEM
+    (kernels/decode_bulk.coschedule_fit), decoded by the general N-way
+    kernel, falling back to per-block when literals are too large. With
+    ``dictionary`` the resolver works in the dict-extended output space
+    (the dictionary staged as a literal-plane copy; up to a third 2 MiB
+    window). Returns (words, base), or None when any block needs the
+    fused-parser fallback (pathologically fragmented streams) or the
+    native core is absent.
 
     Multi-process: the resolver runs SHARD-LOCALLY — each process preps
     only the blocks its devices hold (the host-side twin of the upstream
     reader thread splitting work across workers) — and the processes
-    agree on bucketed plane shapes through one tiny allgather of
-    (fallback_flag, lit_rows, rec_rows)."""
+    agree on bucketed plane shapes through tiny scalar allgathers
+    (fallback_flag + lit_rows, then rec_rows once the group size — which
+    depends on the agreed lit_rows — is fixed)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ..runtime import native
@@ -575,22 +603,15 @@ def _bulk_window_words(stream, table_window, mesh: Mesh,
     base = len(dictionary) if dictionary else 0
     n = len(table_window)
     n_dev = mesh.devices.size
-    gran = 2 * n_dev if pair else n_dev  # pairs must be device-local
+    # groups must be device-local: B is a multiple of gran so each
+    # device's contiguous span divides evenly into groups (4 covers the
+    # auto ladder {4, 2, 1})
+    gran = (4 if coschedule == 0 else coschedule) * n_dev
     B = max(-(-n // gran) * gran, gran)
     sharding = mesh_mod.block_sharding(mesh)
     multi = jax.process_count() > 1
 
-    if multi:  # stage (and resolve) only rows this process's devices hold
-        amap = sharding.addressable_devices_indices_map((B,))
-        rows = set()
-        for idx in amap.values():
-            sl = idx[0]
-            rows.update(range(sl.start or 0,
-                              B if sl.stop is None else sl.stop))
-    else:
-        rows = set(range(B))
-    local_blocks = [b for b in sorted(rows) if b < n]
-    local_pairs = sorted({r // 2 for r in rows})  # incl. padding pairs
+    rows, local_blocks = _local_block_rows(sharding, B, n)
 
     preps = {}
 
@@ -608,35 +629,36 @@ def _bulk_window_words(stream, table_window, mesh: Mesh,
         return preps[b] if b < n else _EMPTY
 
     fallback = any(preps[b] is None for b in local_blocks)
-    merged = {}
-    if not fallback:
-        lit_rows = max((DBK.rows_for_bytes(len(preps[b][0]))
-                        for b in local_blocks), default=8)
-        if pair:
-            for g in local_pairs:
-                a, c = prep_at(2 * g), prep_at(2 * g + 1)
-                merged[g] = native.bulk_merge2(a[1], a[2], c[1], c[2])
-            rec_rows = max((DBK.rows_for_bytes(4 * len(m[0]))
-                            for m in merged.values()), default=8)
-        else:
-            rec_rows = max((DBK.rows_for_bytes(4 * len(preps[b][1]))
-                            for b in local_blocks), default=8)
-    else:
-        lit_rows = rec_rows = 8
-
-    if multi:  # one scalar exchange: global fallback + plane buckets
-        from jax.experimental import multihost_utils
-
-        allv = multihost_utils.process_allgather(
-            np.array([int(fallback), lit_rows, rec_rows], np.int64))
-        allv = allv.reshape(-1, 3)
-        fallback = bool(allv[:, 0].any())
-        lit_rows = int(allv[:, 1].max())
-        rec_rows = int(allv[:, 2].max())
+    lit_rows = 8 if fallback else max(
+        (DBK.rows_for_bytes(len(preps[b][0])) for b in local_blocks),
+        default=8)
+    [fallback, lit_rows] = _agree_max([int(fallback), lit_rows])
     if fallback:
         return None
-    # bucket plane rows across the batch (recompile-bounded)
-    lit_rows = _round_up(lit_rows, 64)
+    lit_rows = _round_up(lit_rows, 64)  # bucket (recompile-bounded)
+
+    if coschedule == 0:  # auto: largest group whose planes fit VMEM
+        nblk = next((k for k in (4, 2)
+                     if DBK.coschedule_fit(lit_rows, k)), 1)
+    else:
+        nblk = coschedule
+
+    merged = {}
+    if nblk > 1:  # zip each group's record streams (round-robin)
+        for g in sorted({r // nblk for r in rows}):  # incl. padding groups
+            members = [prep_at(nblk * g + k) for k in range(nblk)]
+            if coschedule == 2:  # pair kernel's 8-word meta ABI
+                a, c = members
+                merged[g] = native.bulk_merge2(a[1], a[2], c[1], c[2])
+            else:
+                merged[g] = native.bulk_mergen([m[1] for m in members],
+                                               [m[2] for m in members])
+        rec_rows = max((DBK.rows_for_bytes(4 * len(m[0]))
+                        for m in merged.values()), default=8)
+    else:
+        rec_rows = max((DBK.rows_for_bytes(4 * len(preps[b][1]))
+                        for b in local_blocks), default=8)
+    [rec_rows] = _agree_max([rec_rows])
     rec_rows = _round_up(rec_rows, 512)
     # dict-extended output space may span a third 2 MiB window
     out_rows = 3 * DBK.WIN_ROWS if base else DK.OUT_ROWS
@@ -651,33 +673,41 @@ def _bulk_window_words(stream, table_window, mesh: Mesh,
     lit_dev = _device_put_rows((B, lit_rows, DK.LANES), np.int32, sharding,
                                pack_lit)
 
-    if pair:
-        def pack_rec2(lo, hi):
+    if nblk > 1:
+        meta_w = 8 if coschedule == 2 else DBK.METAN_WORDS
+
+        def pack_rec(lo, hi):
             out = np.zeros((hi - lo, rec_rows, DK.LANES), np.int32)
             for g in range(lo, hi):
                 out[g - lo] = DBK.pack_rec_words(merged[g][0], rec_rows)
             return out
 
-        def pack_meta2(lo, hi):
-            out = np.zeros((hi - lo, 8), np.int32)
+        def pack_meta(lo, hi):
+            out = np.zeros((hi - lo, meta_w), np.int32)
             for g in range(lo, hi):
                 out[g - lo] = merged[g][1].astype(np.int64).astype(np.int32)
             return out
 
-        words = _sharded_decode_bulk2(
-            mesh, lit_rows, rec_rows, out_rows, max_win)(
-            lit_dev,
-            _device_put_rows((B // 2, rec_rows, DK.LANES), np.int32,
-                             sharding, pack_rec2),
-            _device_put_rows((B // 2, 8), np.int32, sharding, pack_meta2))
+        rec_dev = _device_put_rows((B // nblk, rec_rows, DK.LANES),
+                                   np.int32, sharding, pack_rec)
+        meta_dev = _device_put_rows((B // nblk, meta_w), np.int32,
+                                    sharding, pack_meta)
+        if coschedule == 2:
+            words = _sharded_decode_bulk2(
+                mesh, lit_rows, rec_rows, out_rows, max_win)(
+                lit_dev, rec_dev, meta_dev)
+        else:
+            words = _sharded_decode_bulkn(
+                mesh, nblk, lit_rows, rec_rows, out_rows, max_win)(
+                lit_dev, rec_dev, meta_dev)
     else:
-        def pack_rec(lo, hi):
+        def pack_rec1(lo, hi):
             out = np.zeros((hi - lo, rec_rows, DK.LANES), np.int32)
             for b in range(lo, min(hi, n)):
                 out[b - lo] = DBK.pack_rec_words(preps[b][1], rec_rows)
             return out
 
-        def pack_meta(lo, hi):
+        def pack_meta1(lo, hi):
             out = np.zeros((hi - lo, 8), np.int32)
             for b in range(lo, min(hi, n)):
                 out[b - lo] = preps[b][2].astype(np.int64).astype(np.int32)
@@ -687,29 +717,9 @@ def _bulk_window_words(stream, table_window, mesh: Mesh,
             mesh, lit_rows, rec_rows, out_rows, max_win)(
             lit_dev,
             _device_put_rows((B, rec_rows, DK.LANES), np.int32, sharding,
-                             pack_rec),
-            _device_put_rows((B, 8), np.int32, sharding, pack_meta))
+                             pack_rec1),
+            _device_put_rows((B, 8), np.int32, sharding, pack_meta1))
     return words, base
-
-
-def _decode_window_bulk(stream, table_window, mesh: Mesh,
-                        pair: bool = False,
-                        dictionary: Optional[bytes] = None) -> List[bytes]:
-    """Bulk-path window decode -> host-0 assembled bytes; falls back to
-    the fused on-chip parser when the resolver rejects a block."""
-    r = _bulk_window_words(stream, table_window, mesh, pair, dictionary)
-    if r is None:
-        return _decode_window_stream(stream, table_window, mesh, dictionary)
-    words, base = r
-    n = len(table_window)
-    # decoded sizes come from the 3-byte declared-size headers — no
-    # resolver needed, so host-0 assembly works without remote preps
-    sizes = _declared_sizes(stream, table_window)
-    host = _to_host0(words)
-    if host is None:  # nonzero process: host 0 holds the output
-        return [b""] * n
-    return [host[b].reshape(-1).view("<u1")[base:base + sizes[b]].tobytes()
-            for b in range(n)]
 
 
 _DICT_PAD = 1 << 16  # dict-extended output/payload headroom (bucketed)
@@ -871,7 +881,9 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     (kernels/decode_bulk.py — no on-chip parse, no RMW chains; preset
     dictionaries ride the dict-extended resolver space); 'bulk2' = its
     two-block co-scheduled variant (merged record streams, the fastest
-    measured kernel — pairs decode together on each device);
+    measured kernel — pairs decode together on each device); 'bulkn' =
+    the general N-way co-schedule, auto-sized to the largest group of
+    {4, 2} whose scratch planes fit VMEM;
     'stream' = the fused on-chip parser (raw payload is the only device
     input — phase A AND B on chip);
     'pallas' = the token-chunk kernel (host tokenize + on-chip byte
@@ -894,7 +906,14 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
     from ..format import FormatError
 
     if impl == "auto":
-        impl = "stream" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() == "tpu":
+            # the co-scheduled bulk path is the fastest measured kernel
+            # (BASELINE.md); the fused parser is the no-native fallback
+            from ..runtime import native as _native
+
+            impl = "bulk2" if _native.available() else "stream"
+        else:
+            impl = "xla"
     if mesh is None:
         mesh = mesh_mod.block_mesh()
     interpret = interpret or jax.default_backend() == "cpu"
@@ -916,11 +935,12 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
             if progress is not None:
                 progress(len(parts), len(table))
 
-    if impl in ("bulk", "bulk2"):
+    if impl in ("bulk", "bulk2", "bulkn"):
         # one-window lookahead: dispatch window k+1's host resolve +
         # device work BEFORE gathering window k (jax dispatch is async),
         # so the C++ resolver overlaps the previous window's kernel —
         # the device edition of the upstream triple-buffered rings
+        cosched = {"bulk": 1, "bulk2": 2, "bulkn": 0}[impl]
         pending = None  # (win, (words, base) | assembled bytes list)
 
         def drain(p):
@@ -939,8 +959,7 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
                   for b in range(len(win))])
 
         for win in wins:
-            r = _bulk_window_words(stream, win, mesh, impl == "bulk2",
-                                   dictionary)
+            r = _bulk_window_words(stream, win, mesh, cosched, dictionary)
             cur = (win, r if r is not None else _decode_window_stream(
                 stream, win, mesh, dictionary))
             if pending is not None:
@@ -986,11 +1005,18 @@ def decompress_to_file(stream: bytes, out_path, mesh: Optional[Mesh] = None,
     from ..format import FormatError
 
     if impl == "auto":
-        impl = "stream" if jax.default_backend() == "tpu" else "xla"
-    if impl not in ("stream", "xla", "bulk", "bulk2"):
+        if jax.default_backend() == "tpu":
+            # the co-scheduled bulk path is the fastest measured kernel
+            # (BASELINE.md); the fused parser is the no-native fallback
+            from ..runtime import native as _native
+
+            impl = "bulk2" if _native.available() else "stream"
+        else:
+            impl = "xla"
+    if impl not in ("stream", "xla", "bulk", "bulk2", "bulkn"):
         raise ValueError(
-            f"decompress_to_file supports impl 'stream', 'xla', 'bulk' "
-            f"or 'bulk2', got {impl!r}")
+            f"decompress_to_file supports impl 'stream', 'xla', 'bulk', "
+            f"'bulk2' or 'bulkn', got {impl!r}")
     if mesh is None:
         mesh = mesh_mod.block_mesh()
     if window_blocks <= 0:
@@ -1020,9 +1046,10 @@ def decompress_to_file(stream: bytes, out_path, mesh: Optional[Mesh] = None,
                      for off, psz, _ in win]
             eff = impl
             words = None
-            if impl in ("bulk", "bulk2"):
-                r = _bulk_window_words(stream, win, mesh, impl == "bulk2",
-                                       dictionary)
+            if impl in ("bulk", "bulk2", "bulkn"):
+                r = _bulk_window_words(
+                    stream, win, mesh,
+                    {"bulk": 1, "bulk2": 2, "bulkn": 0}[impl], dictionary)
                 if r is None:  # resolver fallback: fused parser window
                     eff = "stream"
                 else:
