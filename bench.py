@@ -141,6 +141,15 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
     sizes = [min(len(data) - (k << 22), 1 << 22) for k in range(n_src)]
 
     nway = {"bulk2": 2, "bulk3": 3, "bulk4": 4}.get(kernel, 0)
+    if kernel == "bulkn":
+        # auto-size the co-schedule group to the VMEM budget, like the
+        # pipeline's impl='bulkn' (probe per-block planes for lit_rows)
+        probe = DB.prep_batch(blocks)
+        assert probe is not None, "bulk prep fell back on bench corpus"
+        nway = next((k for k in (4, 2)
+                     if DB.coschedule_fit(probe[0].shape[1], k)), 2)
+        log(f"tpu[bulkn]: auto group size {nway} "
+            f"(lit_rows {probe[0].shape[1]})")
     if kernel == "bulk":
         planes = DB.prep_batch(blocks)
         assert planes is not None, "bulk prep fell back on bench corpus"
@@ -422,7 +431,7 @@ def main():
             import jax
 
             if jax.devices()[0].platform == "tpu":
-                for kernel in ("bulk2", "bulk", "stream"):
+                for kernel in ("bulk2", "bulkn", "bulk", "stream"):
                     try:
                         tpu[kernel] = bench_tpu_kernel(data, native, kernel)
                         log(f"tpu: on-chip {kernel} decode "
