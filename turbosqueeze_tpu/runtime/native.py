@@ -47,10 +47,10 @@ def _shrink_bytes(obj: ctypes.py_object, n: int) -> bytes:
 
 def _find_library() -> Optional[Path]:
     here = Path(__file__).resolve().parent.parent.parent
-    candidates = [
+    candidates = [  # an explicit override outranks the repo builds
+        Path(os.environ.get("TSQ_CORE_LIB", "/nonexistent")),
         here / "build" / "libtsq_core.so",
         here / "csrc" / "libtsq_core.so",
-        Path(os.environ.get("TSQ_CORE_LIB", "/nonexistent")),
     ]
     for c in candidates:
         if c.exists():
