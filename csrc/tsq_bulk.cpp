@@ -99,6 +99,7 @@ struct Resolver {
 
   std::vector<Interval> iv;
   std::vector<Deferred> dq;
+  bool dq_unsorted = false;
   // bucket index: for each 64-byte output bucket, the iv index of the
   // last interval starting at or before the bucket base — find() becomes
   // a lookup plus a short forward walk instead of a full binary search
@@ -110,7 +111,8 @@ struct Resolver {
   Resolver(uint32_t size_, uint32_t* rec_, uint64_t cap_, uint32_t* meta_)
       : size(size_), rec(rec_), cap(cap_), meta(meta_) {
     win_end = size < kBulkWin ? size : kBulkWin;
-    iv.reserve(1 << 14);
+    iv.reserve(1 << 16);
+    bidx.reserve(((kBlockSize + kMaxDict) >> kBShift) + 64);
     meta[4] = 0;
   }
 
@@ -231,11 +233,15 @@ struct Resolver {
   // since in-entry contributions live in the accumulator, not in W yet.
   void emit_deferred() {
     // dq is already dst-ordered: defers happen in token order and token
-    // dst is monotone; assert-sort cheaply anyway for safety
-    std::stable_sort(dq.begin(), dq.end(),
-                     [](const Deferred& a, const Deferred& b) {
-                       return a.dst < b.dst;
-                     });
+    // dst is monotone; defer() tracks violations in O(1) so the common
+    // path pays neither a sort nor a verify pass
+    if (dq_unsorted) {
+      std::stable_sort(dq.begin(), dq.end(),
+                       [](const Deferred& a, const Deferred& b) {
+                         return a.dst < b.dst;
+                       });
+      dq_unsorted = false;
+    }
     int64_t whdr = -1;
     uint32_t wrow = 0, wcnt = 0;
     uint32_t entry_first = 0;  // window-relative first dst of open entry
@@ -348,6 +354,7 @@ struct Resolver {
   // so later readers forward to it — forwarded sources point ever further
   // back, which keeps deferred entries mergeable.
   void defer(uint32_t dst, uint32_t len, uint32_t wsrc_rel) {
+    if (!dq.empty() && dq.back().dst > dst) dq_unsorted = true;
     dq.push_back({dst, len, wsrc_rel});
     push_iv(dst, len, wsrc_rel, kSelf);
   }
@@ -404,6 +411,7 @@ int64_t bulk_prep(const uint8_t* in, size_t in_size, bool ext,
 
   while (j < total) {
     if (i >= in_size) return kErrTruncated;
+    if (rs.overflow) return kBulkOverflow;  // abort early: caller retries
     uint32_t ctrl = in[i++];
     for (int pair = 0; pair < 4 && j < total; ++pair) {
       if (i >= in_size) return kErrTruncated;
@@ -417,8 +425,9 @@ int64_t bulk_prep(const uint8_t* in, size_t in_size, bool ext,
           if (j + sz > total) sz = total - j;  // corrupt-stream clamp
           if (i + nibble + 1 > in_size + 48) return kErrTruncated;
           if (sz) {
-            for (uint32_t t = 0; t < sz; ++t)
-              lit[lit_n + t] = i + t < in_size ? in[i + t] : 0;
+            // the caller guarantees 64 readable zero bytes past in_size
+            // (native.bulk_prep pads), so a straight copy is exact
+            std::memcpy(&lit[lit_n], &in[i], sz);
             bool is_const = true;
             for (uint32_t t = 1; t < sz && is_const; ++t)
               is_const = lit[lit_n + t] == lit[lit_n];

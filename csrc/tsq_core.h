@@ -218,9 +218,10 @@ constexpr uint32_t kBulkMaxEntryRecs = 120;
 // words, [4+w]=record word offset where window w starts. With a preset
 // dictionary the output space is dict-extended ([0, dict_len + size),
 // the dictionary staged as a literal-plane copy at [0, dict_len)) and a
-// third window may be needed. Returns record words written,
-// kBulkFallback/kBulkOverflow, or a negative Status for malformed
-// payloads.
+// third window may be needed. `in` MUST have 64 readable ZERO bytes past
+// in_size (callers pad; literal copies read through truncated tails).
+// Returns record words written, kBulkFallback/kBulkOverflow, or a
+// negative Status for malformed payloads.
 int64_t bulk_prep(const uint8_t* in, size_t in_size, bool ext,
                   const uint8_t* dict, uint32_t dict_len,
                   uint8_t* lit, uint64_t lit_cap,

@@ -18,7 +18,8 @@ never writes, or (b) W rows finalized by earlier entries (stream order
 is the topological order; the resolver guarantees an entry never reads
 bytes its own accumulator holds). Compare the fused kernel
 (decode_stream.py): no bitstream parse on the scalar unit (21.7
-cyc/token measured floor — the parse lives on the host at GB/s-class),
+cyc/token measured floor — the parse lives on the host, ~80 MB/s/core
+and embarrassingly parallel across blocks/cores),
 no read-modify-writes, and no same-ref store->read chains on the hot
 path, which is what Mosaic's index-blind aliasing serializes
 (BASELINE.md round-2 roofline).

@@ -575,7 +575,8 @@ def _bulk_window_words(stream, table_window, mesh: Mesh,
                        coschedule: int = 1,
                        dictionary: Optional[bytes] = None):
     """Decode one window of blocks via the bulk path into SHARDED device
-    words: host C++ resolver (native.bulk_prep, GB/s-class token work)
+    words: host C++ resolver (native.bulk_prep, ~80 MB/s/core, thread-
+    pooled across the window's blocks)
     feeding the wave-free record-stream kernel. ``coschedule`` picks the
     grouping: 1 = per-block kernel, 2 = two-block pair kernel (merged
     alternating record streams hide the per-gang dependence chain), 0 =

@@ -326,7 +326,10 @@ def bulk_prep(payload: bytes, ext: bool, dictionary: bytes = None):
     dlen = len(dictionary) if dictionary else 0
     lit = np.empty(dlen + size + 64, dtype=np.uint8)
     meta = np.zeros(8, dtype=np.uint32)
-    rec_cap = (1 << 19)  # 2 MiB; grown on overflow
+    # record words scale with tokens (~0.5 words per payload byte
+    # measured on level-0 text); 2 w/B gives ~4x headroom so the
+    # overflow retry (which re-parses) is a cold path, not the common one
+    rec_cap = max(1 << 19, 2 * len(payload))
     while True:
         rec = np.empty(rec_cap, dtype=np.uint32)
         if dlen:
