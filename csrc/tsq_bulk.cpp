@@ -108,10 +108,17 @@ struct Resolver {
 
   static constexpr uint32_t kBShift = 6;
 
-  Resolver(uint32_t size_, uint32_t* rec_, uint64_t cap_, uint32_t* meta_)
+  Resolver(uint32_t size_, uint32_t* rec_, uint64_t cap_, uint32_t* meta_,
+           size_t payload_size)
       : size(size_), rec(rec_), cap(cap_), meta(meta_) {
     win_end = size < kBulkWin ? size : kBulkWin;
-    iv.reserve(1 << 16);
+    // ~0.39 tokens per payload byte measured on level-0 text, the
+    // token-densest class; iv gets ~1 interval per token (merges are
+    // rare, measured 293/722k) and dq up to ~1 defer per match. Sizing
+    // both up front kills ~16 MB of vector-doubling copies per block.
+    size_t tok = payload_size / 2 + 4096;
+    iv.reserve(tok);
+    dq.reserve(tok);
     bidx.reserve(((kBlockSize + kMaxDict) >> kBShift) + 64);
     meta[4] = 0;
   }
@@ -313,15 +320,18 @@ struct Resolver {
     // followed-out mappings to IDENTITY out-space. Identity is always
     // within the NEXT windows' tail reach, since any future query qs is
     // within 65598 of its own dst.
-    std::vector<Interval> nv;
-    nv.reserve(iv.size());
-    for (Interval I : iv) {
+    // in-place compaction (write index trails read index) so iv keeps
+    // its reserved capacity across windows — a swap with a fresh vector
+    // would re-pay the doubling copies as the next window's map regrows
+    uint32_t w2 = 0;
+    for (uint32_t r2 = 0; r2 < (uint32_t)iv.size(); ++r2) {
+      Interval I = iv[r2];
       if (I.kind == kSelf || I.kind == kOut) {
         I.kind = kOut;
         I.src = I.dst;
       }
-      if (!nv.empty()) {
-        Interval& b = nv.back();
+      if (w2) {
+        Interval& b = iv[w2 - 1];
         if (b.kind == I.kind && b.dst + b.len == I.dst &&
             (I.kind == kConst ? b.src == I.src
                               : b.src + b.len == I.src)) {
@@ -329,9 +339,9 @@ struct Resolver {
           continue;
         }
       }
-      nv.push_back(I);
+      iv[w2++] = I;
     }
-    iv.swap(nv);
+    iv.resize(w2);
     rebuild_index();
   }
 
@@ -399,7 +409,7 @@ int64_t bulk_prep(const uint8_t* in, size_t in_size, bool ext,
   meta[0] = size;
   meta[1] = total ? (total + kBulkWin - 1) / kBulkWin : 0;
 
-  Resolver rs(total, rec, rec_cap_words, meta);
+  Resolver rs(total, rec, rec_cap_words, meta, in_size);
   uint64_t lit_n = 0;
   if (dict_len) {
     std::memcpy(lit, dict, dict_len);
@@ -449,6 +459,40 @@ int64_t bulk_prep(const uint8_t* in, size_t in_size, bool ext,
           if (j + sz > total) sz = total - j;  // corrupt-stream clamp
           uint32_t qd = j, left = sz;
           bool counted = false, whole_defer = false;
+          // Fast path (K == 1 semantics, the shipped constant): when the
+          // copy stays inside the current window, one find() decides the
+          // whole token — single covering interval emits/defers directly,
+          // and a second probe classifies multi-piece sources — instead
+          // of the generic dry-count walk + re-find emit loop doing every
+          // lookup twice (measured ~25% of resolver time on text).
+          while (qd >= rs.win_end && rs.win_end < total) rs.close_window();
+          if (kBulkResolveK == 1 && left && qd + left <= rs.win_end &&
+              !rs.iv.empty()) {
+            const Interval I = rs.iv[rs.find(qs)];
+            if (qs < I.dst || qs - I.dst >= I.len) return kErrBadPayload;
+            uint32_t d = qs - I.dst, avail = I.len - d;
+            if (avail >= left) {
+              if (I.kind == kConst)
+                rs.emit(qd, left, I.src, kConst);
+              else if (I.kind == kSelf)
+                rs.defer(qd, left, I.src + d);
+              else
+                rs.emit(qd, left, I.src + d, I.kind);
+              left = 0;
+            } else {
+              // fragmented: defer whole IF the next piece exists (a gap
+              // means self-overlap — the generic loop resolves it
+              // incrementally against its own fresh intervals)
+              uint32_t cs2 = qs + avail;
+              const Interval& I2 = rs.iv[rs.find(cs2)];
+              counted = true;
+              whole_defer = cs2 >= I2.dst && cs2 - I2.dst < I2.len;
+              if (whole_defer && qs >= rs.win_start) {
+                rs.defer(qd, left, qs - rs.win_start);
+                left = 0;
+              }
+            }
+          }
           while (left) {
             while (qd >= rs.win_end && rs.win_end < total)
               rs.close_window();
