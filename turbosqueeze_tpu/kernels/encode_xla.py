@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..format import BLOCK_SZ, HASH_MASK
+from ..format import HASH_MASK
 
 # Positions are block-local (< 2^22); hashes are 17 bits. A single int32
 # key cannot hold both, so sort an int64 key = hash << 23 | position.
@@ -95,5 +95,3 @@ def find_candidates_host(block: bytes) -> np.ndarray:
     cand = np.asarray(find_candidates(jnp.asarray(arr)))
     return cand[:len(block)]
 
-
-BLOCK_SZ  # re-exported context for docs
