@@ -461,14 +461,19 @@ def main():
                 try:
                     from turbosqueeze_tpu.parallel import pipeline
 
+                    # drive e2e through the best-measured kernel variant
+                    e2e_impl = (max(tpu, key=tpu.get)
+                                if tpu else "bulk")
+                    if e2e_impl not in ("bulk", "bulk2", "bulkn"):
+                        e2e_impl = "bulk"
                     sl = data[:min(len(data), 64 << 20)]
                     st = native.compress(sl, True, level=0)
                     t0 = time.perf_counter()
-                    out = pipeline.decompress(st, impl="bulk")
+                    out = pipeline.decompress(st, impl=e2e_impl)
                     dt = time.perf_counter() - t0
                     assert out == sl
                     e2e_mbps = len(sl) / 1e6 / dt
-                    log(f"tpu: e2e pipeline.decompress(impl='bulk') "
+                    log(f"tpu: e2e pipeline.decompress(impl='{e2e_impl}') "
                         f"{e2e_mbps:.1f} MB/s wall (tunnel/host-bound box)")
                 except Exception as e:
                     log(f"tpu e2e bench failed: {e}")
