@@ -58,7 +58,7 @@ def main():
 
     sub = data[:600_000]
     substream = native_mod.compress(sub, True, level=1)
-    for impl in ("bulk", "bulk2"):
+    for impl in ("bulk", "bulk2", "bulkn"):
         got = pipeline.decompress(substream, impl=impl)
         if jax.process_index() == 0:
             assert got == sub, f"multi-process {impl} decode mismatch"
