@@ -109,8 +109,43 @@ def build_reference(tmp: Path):
         return None
 
 
+class SlopeRejected(RuntimeError):
+    """The batch-slope fit failed its sanity gates (non-monotone or
+    non-positive marginal time) — the measurement is dispatch noise, not
+    a kernel rate, and MUST NOT be published as a throughput."""
+
+
+def slope_fit(points):
+    """Least-squares marginal cost from >= 3 (bytes, seconds) points.
+
+    Round-3 published physically impossible negative throughputs because
+    a two-point slope through tunnel dispatch noise has no defense. This
+    fit requires (a) min-of-N per point (caller), (b) strictly increasing
+    times across increasing batch sizes, (c) a positive fitted slope, and
+    returns (slope_sec_per_byte, rel_residual) where rel_residual is the
+    RMS fit error over the fitted time range — reported in extras so a
+    sloppy fit is visible in BENCH, not hidden.
+    """
+    pts = sorted(points)
+    if len(pts) < 3:
+        raise SlopeRejected(f"need >= 3 batch points, got {len(pts)}")
+    for (s0, t0), (s1, t1) in zip(pts, pts[1:]):
+        if not (s1 > s0 and t1 > t0):
+            raise SlopeRejected(
+                f"non-monotone timings: t({s0 / 1e6:.0f}MB)={t0 * 1e3:.2f}ms"
+                f" >= t({s1 / 1e6:.0f}MB)={t1 * 1e3:.2f}ms")
+    xs = np.array([p[0] for p in pts], np.float64)
+    ts = np.array([p[1] for p in pts], np.float64)
+    slope, icept = np.polyfit(xs, ts, 1)
+    if slope <= 0:
+        raise SlopeRejected(f"non-positive fitted slope {slope:.3e}")
+    pred = slope * xs + icept
+    rel = float(np.sqrt(np.mean((ts - pred) ** 2)) / (ts.max() - ts.min()))
+    return float(slope), rel
+
+
 def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
-                     level: int = 0) -> float:
+                     level: int = 0, mask_arith=None):
     """On-chip decode throughput (MB/s/chip) by the batch-slope method.
 
     kernel 'stream': the fused parser (raw payload -> bytes,
@@ -124,8 +159,11 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
     Per-call timings through a tunneled runtime carry a large fixed
     dispatch/sync overhead (and async timings without a real result fetch
     are meaningless — the runtime acks dispatch before execution), so the
-    kernel rate is the MARGINAL cost per block: (t(B2) - t(B1)) / (B2-B1),
-    with a 4-byte result fetch forcing completion of each call.
+    kernel rate is the MARGINAL cost per block: a least-squares slope
+    over >= 3 batch sizes, min-of-N reps per size (dispatch noise is
+    one-sided), with a 4-byte result fetch forcing completion of each
+    call. Non-monotone / non-positive fits raise SlopeRejected instead
+    of publishing garbage (round-3 lesson). Returns (mbps, residual).
     """
     import jax
     import jax.numpy as jnp
@@ -200,14 +238,15 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
 
     def run(args):
         if kernel == "bulk":
-            return DB.decode_bulk_batch(*args)
+            return DB.decode_bulk_batch(*args, mask_arith=mask_arith)
         if kernel == "bulk2":
-            return DB.decode_bulk2_batch(*args)
+            return DB.decode_bulk2_batch(*args, mask_arith=mask_arith)
         if nway:
-            return DB.decode_bulkn_batch(*args, nblk=nway)
+            return DB.decode_bulkn_batch(*args, nblk=nway,
+                                         mask_arith=mask_arith)
         return DS.decode_stream_batch(*args)
 
-    def timed(B, reps=3):
+    def timed(B, reps=6):
         if nway:
             B = max(nway, (B // nway) * nway)
         args, sz = make_args(B)
@@ -217,28 +256,42 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
             want = data[(b % n_src) << 22:((b % n_src) << 22) + size]
             got = host[b].reshape(-1).view("<u1")[:size].tobytes()
             assert got == want, f"tpu {kernel} kernel mismatch on block {b}"
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        best = float("inf")
+        for _ in range(reps):  # min-of-N: dispatch noise only ADDS time
+            t0 = time.perf_counter()
             r = run(args)
             np.asarray(jax.device_get(jnp.reshape(r, (-1,))[:1]))
-        return (time.perf_counter() - t0) / reps, sz
+            best = min(best, time.perf_counter() - t0)
+        return best, sz
 
+    step = nway or 1
+    bmax = min(16, max(2 * step, (n_src // step) * step))
+    batches = sorted({step, max(2 * step, bmax // 2 // step * step), bmax})
     t0 = time.time()
-    t1, sz1 = timed(nway or 1)
-    log(f"tpu[{kernel}]: kernel compile+verify {time.time() - t0:.0f}s")
-    b2 = min(16, max(nway or 2, n_src))
-    t2, sz2 = timed(b2)
-    per_byte = (t2 - t1) / (sz2 - sz1)
-    return 1e-6 / per_byte
+    points = [(sz, t) for B in batches for t, sz in [timed(B)]]
+    log(f"tpu[{kernel}]: B={batches} compile+verify+time "
+        f"{time.time() - t0:.0f}s")
+    for attempt in range(2):
+        try:
+            per_byte, resid = slope_fit(points)
+            return 1e-6 / per_byte, resid
+        except SlopeRejected as e:
+            if attempt:
+                raise
+            log(f"tpu[{kernel}]: slope rejected ({e}); retrying with "
+                "more reps")
+            points = [(sz, t) for B in batches
+                      for t, sz in [timed(B, reps=12)]]
 
 
-def bench_tpu_encode(data: bytes, native) -> float:
+def bench_tpu_encode(data: bytes, native):
     """Device-resident compress throughput (MB/s/chip), batch-slope.
 
     Measures the full on-chip chain — phase-A candidate search
     (kernels/encode_xla) + two-pass bulk emission (kernels/encode_bulk) —
     and verifies every distinct block byte-identical to the host level-1
-    emission before timing (upstream hot loop tsq_encode.cpp:216-326)."""
+    emission before timing (upstream hot loop tsq_encode.cpp:216-326).
+    Returns (mbps, residual); raises SlopeRejected on a garbage fit."""
     import jax
     import jax.numpy as jnp
 
@@ -255,7 +308,9 @@ def bench_tpu_encode(data: bytes, native) -> float:
 
     @jax.jit
     def full(batch_u8, meta):
-        cand = encode_xla.find_candidates(batch_u8)
+        # find_candidates is 1-D (one block); batch it exactly as the
+        # production pipeline does (pipeline.py _find_candidates_sharded)
+        cand = jax.vmap(encode_xla.find_candidates)(batch_u8)
         B = batch_u8.shape[0]
         x = batch_u8.reshape(B, -1, 4).astype(jnp.int32)
         w = (x[..., 0] | (x[..., 1] << 8) | (x[..., 2] << 16)
@@ -277,7 +332,7 @@ def bench_tpu_encode(data: bytes, native) -> float:
         return ([jax.device_put(u8), jax.device_put(meta)],
                 sum(len(blocks[b % n_src]) for b in range(B)))
 
-    def timed(B, reps=3):
+    def timed(B, reps=6):
         args, sz = make_args(B)
         words, osz = full(*args)
         words, osz = np.asarray(words), np.asarray(osz)
@@ -286,18 +341,30 @@ def bench_tpu_encode(data: bytes, native) -> float:
             got = EE.payload_from_words(words[b], int(osz[b, 0]))
             assert got == wants[b % n_src], \
                 f"device emit mismatch on block {b}"
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        best = float("inf")
+        for _ in range(reps):  # min-of-N (see bench_tpu_kernel)
+            t0 = time.perf_counter()
             r, _o = full(*args)
             np.asarray(jax.device_get(jnp.reshape(r, (-1,))[:1]))
-        return (time.perf_counter() - t0) / reps, sz
+            best = min(best, time.perf_counter() - t0)
+        return best, sz
 
     t0 = time.time()
-    t1, sz1 = timed(1)
-    log(f"tpu[encode]: kernel compile+verify {time.time() - t0:.0f}s")
-    t2, sz2 = timed(min(8, max(2, n_src)))
-    per_byte = (t2 - t1) / (sz2 - sz1)
-    return 1e-6 / per_byte
+    batches = [1, 4, min(8, max(5, n_src))]
+    points = [(sz, t) for B in batches for t, sz in [timed(B)]]
+    log(f"tpu[encode]: B={batches} compile+verify+time "
+        f"{time.time() - t0:.0f}s")
+    for attempt in range(2):
+        try:
+            per_byte, resid = slope_fit(points)
+            return 1e-6 / per_byte, resid
+        except SlopeRejected as e:
+            if attempt:
+                raise
+            log(f"tpu[encode]: slope rejected ({e}); retrying with "
+                "more reps")
+            points = [(sz, t) for B in batches
+                      for t, sz in [timed(B, reps=12)]]
 
 
 def tpu_reachable(timeout_s: int = 900) -> bool:
@@ -423,6 +490,7 @@ def main():
     # and the better one reported — Mosaic's scheduling varies between
     # sessions (BASELINE.md), so a single-kernel number is a coin flip.
     tpu = {}
+    resid = {}
     e2e_mbps = None
     tpu_enc = None
     l2 = None
@@ -433,9 +501,11 @@ def main():
             if jax.devices()[0].platform == "tpu":
                 for kernel in ("bulk2", "bulkn", "bulk", "stream"):
                     try:
-                        tpu[kernel] = bench_tpu_kernel(data, native, kernel)
+                        tpu[kernel], resid[kernel] = bench_tpu_kernel(
+                            data, native, kernel)
                         log(f"tpu: on-chip {kernel} decode "
-                            f"{tpu[kernel]:.0f} MB/s/chip")
+                            f"{tpu[kernel]:.0f} MB/s/chip "
+                            f"(fit residual {resid[kernel]:.3f})")
                     except Exception as e:
                         log(f"tpu {kernel} kernel bench failed: {e}")
                 # framework-native streams: our encoder's level-2 output
@@ -444,16 +514,19 @@ def main():
                 # level-0 streams (the upstream-default parse), so the
                 # vs_baseline comparison is stream-for-stream fair.
                 try:
-                    l2 = bench_tpu_kernel(data, native, "bulk2", level=2)
+                    l2, l2_resid = bench_tpu_kernel(data, native, "bulk2",
+                                                    level=2)
                     log(f"tpu: on-chip bulk2 decode of level-2 streams "
-                        f"{l2:.0f} MB/s/chip (extras-only)")
+                        f"{l2:.0f} MB/s/chip (extras-only, residual "
+                        f"{l2_resid:.3f})")
                 except Exception as e:
                     l2 = None
                     log(f"tpu level-2 stream bench failed: {e}")
                 try:
-                    tpu_enc = bench_tpu_encode(data, native)
+                    tpu_enc, enc_resid = bench_tpu_encode(data, native)
                     log(f"tpu: device-resident compress (phaseA+bulk emit) "
-                        f"{tpu_enc:.0f} MB/s/chip")
+                        f"{tpu_enc:.0f} MB/s/chip (residual "
+                        f"{enc_resid:.3f})")
                 except Exception as e:
                     log(f"tpu encode bench failed: {e}")
                 # e2e production path once, for the round-over-round trend
@@ -487,6 +560,8 @@ def main():
     if tpu:
         best = max(tpu, key=tpu.get)
         extras = {f"kernel_{k}_mbps": round(v, 1) for k, v in tpu.items()}
+        extras.update({f"kernel_{k}_fit_residual": round(v, 4)
+                       for k, v in resid.items()})
         if e2e_mbps is not None:
             extras["e2e_decompress_mbps_tunnelbound"] = round(e2e_mbps, 1)
         if tpu_enc is not None:

@@ -138,15 +138,41 @@ int64_t compress_mt(const uint8_t* in, size_t in_size, uint8_t* out,
   write_header(out, (uint32_t)n_blocks, in_size);
   if (n_blocks == 0) return kContainerHeaderSize;
 
+  const size_t slot = kBlockHeaderSize + (size_t)kOutputSize + 32;
+  if (out_capacity < kContainerHeaderSize + n_blocks * slot)
+    return kErrOutputTooSmall;  // callers size with compress_bound()
+  int T = std::min<size_t>(pool_size(n_threads), n_blocks);
+
+  if (T <= 1) {
+    // Sequential fast path: blocks complete in stream order, so each one
+    // encodes DIRECTLY at its final position — no worst-case slot
+    // spreading (which touches ~bound bytes of fresh pages; first-touch
+    // faults dominate the wrapper cost on small-page VMs) and no
+    // compaction pass. Scratch persists across calls (thread_local): the
+    // 9 MiB staging/output buffers stay warm between bench passes and
+    // repeated jobs, mirroring the upstream MT context's long-lived ring
+    // buffers (tsq_context.cpp:101-125).
+    static thread_local EncodeScratch scratch_st;
+    size_t w = kContainerHeaderSize;
+    for (size_t b = 0; b < n_blocks; ++b) {
+      size_t off = b * (size_t)kBlockSize;
+      uint32_t bsz = (uint32_t)std::min<size_t>(kBlockSize, in_size - off);
+      std::memcpy(scratch_st.in.data(), in + off, bsz);
+      std::memset(scratch_st.in.data() + bsz, 0, kEncInSlack);
+      uint32_t psz = scratch_st.encode(bsz, ext, level,
+                                       out + w + kBlockHeaderSize);
+      write_block_header(out + w, psz, ext);
+      w += kBlockHeaderSize + psz;
+      ticker.tick();
+    }
+    return (int64_t)w;
+  }
+
   // Stage 1: encode each block DIRECTLY into its worst-case slot in the
   // output (compressed sizes are unknown until encoded, so blocks land at
   // worst-case spacing first); stage 2 compacts left in order — one
   // in-place memmove instead of the staging-buffer copy + concat copy.
-  const size_t slot = kBlockHeaderSize + (size_t)kOutputSize + 32;
-  if (out_capacity < kContainerHeaderSize + n_blocks * slot)
-    return kErrOutputTooSmall;  // callers size with compress_bound()
   std::vector<uint32_t> sizes(n_blocks);
-  int T = pool_size(n_threads);
   std::vector<std::unique_ptr<EncodeScratch>> scratch;
   for (int t = 0; t < T; ++t) scratch.emplace_back(new EncodeScratch());
 
