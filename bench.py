@@ -178,6 +178,13 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
     n_src = len(blocks)
     sizes = [min(len(data) - (k << 22), 1 << 22) for k in range(n_src)]
 
+    gang = 0
+    unroll = 2
+    if kernel.startswith("gang"):  # gangN or gangN.U (N blocks, unroll U)
+        spec = kernel[4:].split(".")
+        gang = int(spec[0])
+        if len(spec) > 1:
+            unroll = int(spec[1])
     nway = {"bulk2": 2, "bulk3": 3, "bulk4": 4}.get(kernel, 0)
     if kernel == "bulkn":
         # auto-size the co-schedule group to the VMEM budget, like the
@@ -188,7 +195,14 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
                      if DB.coschedule_fit(probe[0].shape[1], k)), 2)
         log(f"tpu[bulkn]: auto group size {nway} "
             f"(lit_rows {probe[0].shape[1]})")
-    if kernel == "bulk":
+    if gang:
+        from turbosqueeze_tpu.kernels import decode_gang as DG
+        planes = DG.prep_gang(blocks, gang)
+        assert planes is not None, "bulk prep fell back on bench corpus"
+        lit_words, rec_words, meta, _ = planes
+        nway = gang
+        n_src = (n_src // gang) * gang or gang
+    elif kernel == "bulk":
         planes = DB.prep_batch(blocks)
         assert planes is not None, "bulk prep fell back on bench corpus"
         lit_words, rec_words, meta, _ = planes
@@ -237,6 +251,12 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
         return args, sum(sizes[b % n_src] for b in range(B))
 
     def run(args):
+        if gang:
+            from turbosqueeze_tpu.kernels import decode_gang as DG
+            return DG.decode_gang_batch(
+                *args, nblk=gang, unroll=unroll,
+                mask_arith=bool(mask_arith) if mask_arith is not None
+                else True)
         if kernel == "bulk":
             return DB.decode_bulk_batch(*args, mask_arith=mask_arith)
         if kernel == "bulk2":
@@ -499,7 +519,7 @@ def main():
             import jax
 
             if jax.devices()[0].platform == "tpu":
-                for kernel in ("bulk2", "bulkn", "bulk", "stream"):
+                for kernel in ("gang4.4", "gang2.4", "bulk2", "stream"):
                     try:
                         tpu[kernel], resid[kernel] = bench_tpu_kernel(
                             data, native, kernel)
@@ -514,9 +534,9 @@ def main():
                 # level-0 streams (the upstream-default parse), so the
                 # vs_baseline comparison is stream-for-stream fair.
                 try:
-                    l2, l2_resid = bench_tpu_kernel(data, native, "bulk2",
+                    l2, l2_resid = bench_tpu_kernel(data, native, "gang4.4",
                                                     level=2)
-                    log(f"tpu: on-chip bulk2 decode of level-2 streams "
+                    log(f"tpu: on-chip gang4.4 decode of level-2 streams "
                         f"{l2:.0f} MB/s/chip (extras-only, residual "
                         f"{l2_resid:.3f})")
                 except Exception as e:
@@ -536,9 +556,11 @@ def main():
 
                     # drive e2e through the best-measured kernel variant
                     e2e_impl = (max(tpu, key=tpu.get)
-                                if tpu else "bulk")
-                    if e2e_impl not in ("bulk", "bulk2", "bulkn"):
-                        e2e_impl = "bulk"
+                                if tpu else "gang")
+                    if e2e_impl.startswith("gang"):
+                        e2e_impl = "gang"
+                    elif e2e_impl not in ("bulk", "bulk2", "bulkn"):
+                        e2e_impl = "gang"
                     sl = data[:min(len(data), 64 << 20)]
                     st = native.compress(sl, True, level=0)
                     t0 = time.perf_counter()
@@ -567,7 +589,7 @@ def main():
         if tpu_enc is not None:
             extras["device_compress_mbps"] = round(tpu_enc, 1)
         if l2 is not None:
-            extras["kernel_bulk2_level2_streams_mbps"] = round(l2, 1)
+            extras["kernel_gang_level2_streams_mbps"] = round(l2, 1)
         extras["host_mt_decode_mbps"] = round(dec_mbps, 1)
         extras["host_mt_encode_mbps"] = round(enc_mbps, 1)
         print(json.dumps({

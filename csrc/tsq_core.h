@@ -214,6 +214,17 @@ constexpr int64_t kBulkOverflow = -101;  // rec buffer too small: retry
 // consumption so its SMEM prefetch ring lookahead stays fixed
 constexpr uint32_t kBulkMaxEntryRecs = 120;
 
+// Gang-stream geometry (csrc/tsq_gang.cpp, kernels/decode_gang.py):
+// fixed 16-word gang slots, rounds of nblk gangs, segments padded so the
+// kernel's round loop can unroll without remainder code.
+constexpr uint32_t kGangMetaWords = 16;
+constexpr uint32_t kGangMaxBlocks = 8;
+constexpr uint32_t kGangAlignRounds = 8;
+
+int64_t bulk_gang(const uint32_t* const* recs, const uint32_t* const* mas,
+                  uint32_t nblk, uint32_t* out, uint64_t cap,
+                  uint32_t* gmeta);
+
 // meta[0]=block size, [1]=n_windows, [2]=literal bytes, [3]=record
 // words, [4+w]=record word offset where window w starts. With a preset
 // dictionary the output space is dict-extended ([0, dict_len + size),

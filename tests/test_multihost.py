@@ -55,3 +55,10 @@ def test_two_process_sharded_decompress(tmp_path):
     restream = Path(str(out_path) + ".tsq2").read_bytes()
     assert restream == native.compress(data, True, level=1)
     assert native.decompress(restream) == data
+    # the chunked host-0 KV assembly measured its own throughput (worker
+    # tail); it must have run, verified, and reported a positive number
+    kv = [ln for ln in outs[0][0].decode().splitlines()
+          if ln.startswith("KV_HOST0_MBPS")]
+    assert kv, "worker 0 did not report the KV assembly measurement"
+    assert float(kv[0].split()[1]) > 0
+    print(f"host-0 KV assembly: {kv[0].split()[1]} MB/s cross-host")

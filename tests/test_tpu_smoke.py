@@ -76,6 +76,87 @@ def test_emit_bulk_compiled(tpu):
     assert got == want
 
 
+@pytest.fixture(scope="module")
+def bulk_blocks():
+    """Two real blocks — one multi-window (2.5 MiB, exercises the tail
+    staging + per-window segments) and one small — as (payload, ext)
+    pairs plus the expected bytes."""
+    from turbosqueeze_tpu.format import iter_container
+    from turbosqueeze_tpu.runtime import native
+    from turbosqueeze_tpu.utils.corpus import synthetic_text
+
+    if not native.available():
+        pytest.skip("native core not built")
+    data = synthetic_text((5 << 19) + 64 * 1024, seed=7)
+    blocks, wants, off = [], [], 0
+    stream = native.compress(data[:5 << 19], True, level=0)
+    blocks += [(p, e) for _, p, e in iter_container(stream)]
+    stream = native.compress(data[5 << 19:], True, level=0)
+    blocks += [(p, e) for _, p, e in iter_container(stream)]
+    for p, _ in blocks:
+        size = p[0] | (p[1] << 8) | (p[2] << 16)
+        wants.append(data[off:off + size] if off < 5 << 19
+                     else data[5 << 19:(5 << 19) + size])
+        off += size
+    return blocks, wants
+
+
+@pytest.mark.parametrize("impl", ["bulk", "bulk2", "bulkn"])
+def test_bulk_kernels_compiled(tpu, bulk_blocks, impl):
+    """The production `auto` decode path's kernels (decode_bulk_batch and
+    the co-scheduled variants) compiled via Mosaic must be bit-exact on a
+    multi-window block — their compiled correctness must not rest on
+    bench.py's verify-before-timing alone (VERDICT r3 item 3)."""
+    from turbosqueeze_tpu.kernels import decode_bulk as DB
+
+    blocks, wants = bulk_blocks
+    if impl == "bulk":
+        lw, rw, mt, sizes = DB.prep_batch(blocks)
+        out = DB.decode_bulk_batch(lw, rw, mt)
+    elif impl == "bulk2":
+        lw, rw, mt, sizes = DB.prep_batch2(blocks)
+        out = DB.decode_bulk2_batch(lw, rw, mt)
+    else:
+        lw, rw, mt, sizes = DB.prep_batchn(blocks, 4)
+        out = DB.decode_bulkn_batch(lw, rw, mt, nblk=4)
+    host = np.asarray(out)
+    for b, want in enumerate(wants):
+        got = host[b].reshape(-1).view("<u1")[:sizes[b]].tobytes()
+        assert got == want, f"{impl} mismatch on block {b}"
+
+
+@pytest.mark.parametrize("nblk,unroll", [(2, 2), (4, 2), (4, 1)])
+def test_gang_kernel_compiled(tpu, bulk_blocks, nblk, unroll):
+    """The round-4 gang-stream kernel compiled via Mosaic, multi-window
+    block included."""
+    from turbosqueeze_tpu.kernels import decode_gang as DG
+
+    blocks, wants = bulk_blocks
+    lw, gw, gm, sizes = DG.prep_gang(blocks, nblk)
+    out = DG.decode_gang_batch(lw, gw, gm, nblk=nblk, unroll=unroll)
+    host = np.asarray(out)
+    for b, want in enumerate(wants):
+        got = host[b].reshape(-1).view("<u1")[:sizes[b]].tobytes()
+        assert got == want, f"gang{nblk}.{unroll} mismatch on block {b}"
+
+
+def test_bulk_dict_compiled(tpu):
+    """Dictionary-extended bulk decode (third window possible) compiled
+    via Mosaic."""
+    from turbosqueeze_tpu.kernels import decode_bulk as DB
+    from turbosqueeze_tpu.runtime import native
+    from turbosqueeze_tpu.utils.corpus import synthetic_text
+
+    if not native.available():
+        pytest.skip("native core not built")
+    dictionary = synthetic_text(32 * 1024, seed=3)
+    data = synthetic_text(96 * 1024, seed=4)
+    payload = native.compress_block_dict(data, dictionary, True)
+    got = DB.decode_bulk_block(payload, True, interpret=False,
+                               dictionary=dictionary)
+    assert got == data
+
+
 def test_emit_table_compiled(tpu):
     """Level-0 on-chip parse (matcher='table') compiled via Mosaic must be
     byte-identical to the native level-0 block payload (the upstream

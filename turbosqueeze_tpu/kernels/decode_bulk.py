@@ -53,12 +53,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .decode_tokens import LANES, OUT_ROWS, ROW_BYTES
 
-# A/B experiment knob (default for the public entry points' mask_arith
-# argument): build the per-gang byte mask arithmetically from clamped
-# shift ranges (~12 VPU ops) instead of the 4-step per-byte-position loop
-# (~20 ops). Bit-identical output; measured on-device before flipping.
-_MASK_ARITH = os.environ.get("TSQ_MASK_ARITH", "0") == "1"
-
 WIN_BYTES = 1 << 21
 WIN_ROWS = WIN_BYTES // ROW_BYTES           # 4096
 TAIL_ROWS = 130                             # >= (65534 + 64) / 512
@@ -74,10 +68,8 @@ _ENTRY_SLACK = 256
 _ENTRY_SLACK2 = 512  # two entries per iteration in the pair kernel
 
 
-def _machinery(ring_ref, vring_ref, lit_rows, mask_arith=None):
+def _machinery(ring_ref, vring_ref, lit_rows):
     """Shared per-entry machinery over the given stream rings."""
-    if mask_arith is None:
-        mask_arith = _MASK_ARITH
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
     plus1 = (row8 >> 1) & 1  # rows 2,3 (and 6,7) gather the +1-word view
@@ -159,21 +151,16 @@ def _machinery(ring_ref, vring_ref, lit_rows, mask_arith=None):
         fillw = (w1v & 0xFF) * 0x01010101
         val = jnp.where(isfillv == 1, fillw, val)
         pos0 = lane8 * 4
-        if mask_arith:
-            # byte-range mask per 4-byte word: bytes [s4, e4) of the word
-            # at byte position pos0 are covered ([off, off+ln) clamped in)
-            s4 = jnp.clip(offv - pos0, 0, 4)
-            e4 = jnp.clip(offv + lnv - pos0, 0, 4)
-            all1 = jnp.int32(-1)
-            ms = jnp.where(s4 >= 4, 0, jax.lax.shift_left(all1, 8 * s4))
-            me = jnp.where(e4 >= 4, 0, jax.lax.shift_left(all1, 8 * e4))
-            m = ms & ~me
-        else:
-            m = jnp.zeros((8, LANES), jnp.int32)
-            for kk in range(4):
-                pos = pos0 + kk
-                inside = jnp.logical_and(pos >= offv, pos < offv + lnv)
-                m = m | jnp.where(inside, jnp.int32(0xFF) << (8 * kk), 0)
+        # byte-range mask per 4-byte word, arithmetically from clamped
+        # shift ranges: bytes [s4, e4) of the word at byte position pos0
+        # are covered ([off, off+ln) clamped in). Decided round 4 over
+        # the 4-step per-byte loop (~1% faster on-device, ab_decode.py).
+        s4 = jnp.clip(offv - pos0, 0, 4)
+        e4 = jnp.clip(offv + lnv - pos0, 0, 4)
+        all1 = jnp.int32(-1)
+        ms = jnp.where(s4 >= 4, 0, jax.lax.shift_left(all1, 8 * s4))
+        me = jnp.where(e4 >= 4, 0, jax.lax.shift_left(all1, 8 * e4))
+        m = ms & ~me
         contrib = val & m
         cv = contrib[0:4] | contrib[4:8]
         cv = cv[0:2] | cv[2:4]
@@ -246,7 +233,7 @@ def _stage_tail(u_ref, w_ref):
 def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
                         ring_ref, vring_ref, sem_lit, sem_out, sem_ring,
                         sem_vring, *, lit_rows, rec_rows, out_rows,
-                        max_win=MAX_WIN, mask_arith=None):
+                        max_win=MAX_WIN):
     b = pl.program_id(0)
     n_win = meta_ref[b, 1]
 
@@ -279,7 +266,7 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
     vring_copy(0).wait()
     dlit.wait()
 
-    word, do_entry = _machinery(ring_ref, vring_ref, lit_rows, mask_arith)
+    word, do_entry = _machinery(ring_ref, vring_ref, lit_rows)
 
     def entry(carry):
         p, waited = carry
@@ -329,7 +316,7 @@ def _decode_bulk_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u_ref, w_ref,
 def _decode_bulk2_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u0_ref, w0_ref,
                          u1_ref, w1_ref, ring_ref, vring_ref, sem_lit,
                          sem_out, sem_ring, sem_vring, *, lit_rows, rec_rows,
-                         out_rows, max_win=MAX_WIN, mask_arith=None):
+                         out_rows, max_win=MAX_WIN):
     """Two-block co-schedule: one merged, strictly-alternating record
     stream (csrc bulk_merge2) drives a pair of blocks against SEPARATE
     scratch refs. Each loop body processes one A-entry and one B-entry
@@ -371,7 +358,7 @@ def _decode_bulk2_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u0_ref, w0_ref,
     dlit0.wait()
     dlit1.wait()
 
-    word, do_entry = _machinery(ring_ref, vring_ref, lit_rows, mask_arith)
+    word, do_entry = _machinery(ring_ref, vring_ref, lit_rows)
 
     def entry_pair(carry):
         p, waited = carry
@@ -434,7 +421,7 @@ def _decode_bulk2_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, u0_ref, w0_ref,
 
 def _decode_bulkn_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
                          nblk, lit_rows, rec_rows, out_rows,
-                         max_win=MAX_WIN, mask_arith=None):
+                         max_win=MAX_WIN):
     """N-way co-schedule (general form of the pair kernel): one merged,
     strictly round-robin record stream (csrc bulk_mergen) drives nblk
     blocks against SEPARATE scratch refs, one entry per block per
@@ -476,7 +463,7 @@ def _decode_bulkn_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
     for d in dlits:
         d.wait()
 
-    word, do_entry = _machinery(ring_ref, vring_ref, lit_rows, mask_arith)
+    word, do_entry = _machinery(ring_ref, vring_ref, lit_rows)
     slack = _ENTRY_SLACK * nblk
 
     def entry_round(carry):
@@ -549,10 +536,10 @@ def best_coschedule(lit_rows: int, max_n: int = 4) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "nblk", "out_rows",
-                                    "max_win", "mask_arith"))
+                                    "max_win", ))
 def decode_bulkn_batch(lit_words, recn_words, metan, *, nblk,
                        interpret=False, out_rows: int = OUT_ROWS,
-                       max_win: int = MAX_WIN, mask_arith=None):
+                       max_win: int = MAX_WIN):
     """N-way co-scheduled variant: block groups (nblk*g .. nblk*g+nblk-1)
     share one merged record stream (native.bulk_mergen) and decode
     together.
@@ -572,8 +559,7 @@ def decode_bulkn_batch(lit_words, recn_words, metan, *, nblk,
         raise ValueError("plane rows must be multiples of 8")
     kernel = functools.partial(_decode_bulkn_kernel, nblk=nblk,
                                lit_rows=lit_rows, rec_rows=rec_rows,
-                               out_rows=out_rows, max_win=max_win,
-                               mask_arith=mask_arith)
+                               out_rows=out_rows, max_win=max_win)
     plane_scratch = []
     for _ in range(nblk):
         plane_scratch.append(
@@ -604,10 +590,9 @@ def decode_bulkn_batch(lit_words, recn_words, metan, *, nblk,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "out_rows", "max_win",
-                                    "mask_arith"))
+                                    ))
 def decode_bulk_batch(lit_words, rec_words, meta, *, interpret=False,
-                      out_rows: int = OUT_ROWS, max_win: int = MAX_WIN,
-                      mask_arith=None):
+                      out_rows: int = OUT_ROWS, max_win: int = MAX_WIN):
     """Reconstruct a batch of blocks from resolver planes.
 
     lit_words: (B, lit_rows, 128) i32 zero-padded literal planes.
@@ -623,7 +608,7 @@ def decode_bulk_batch(lit_words, rec_words, meta, *, interpret=False,
         raise ValueError("plane rows must be multiples of 8")
     kernel = functools.partial(_decode_bulk_kernel, lit_rows=lit_rows,
                                rec_rows=rec_rows, out_rows=out_rows,
-                               max_win=max_win, mask_arith=mask_arith)
+                               max_win=max_win)
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -650,10 +635,9 @@ def decode_bulk_batch(lit_words, rec_words, meta, *, interpret=False,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "out_rows", "max_win",
-                                    "mask_arith"))
+                                    ))
 def decode_bulk2_batch(lit_words, rec2_words, meta2, *, interpret=False,
-                       out_rows: int = OUT_ROWS, max_win: int = MAX_WIN,
-                       mask_arith=None):
+                       out_rows: int = OUT_ROWS, max_win: int = MAX_WIN):
     """Two-block co-scheduled variant: block pairs (2g, 2g+1) share one
     merged record stream (native.bulk_merge2) and decode together.
 
@@ -670,7 +654,7 @@ def decode_bulk2_batch(lit_words, rec2_words, meta2, *, interpret=False,
         raise ValueError("plane rows must be multiples of 8")
     kernel = functools.partial(_decode_bulk2_kernel, lit_rows=lit_rows,
                                rec_rows=rec_rows, out_rows=out_rows,
-                               max_win=max_win, mask_arith=mask_arith)
+                               max_win=max_win)
     return pl.pallas_call(
         kernel,
         grid=(B // 2,),

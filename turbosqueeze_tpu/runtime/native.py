@@ -144,6 +144,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
     ]
+    lib.tsq_bulk_gang.restype = ctypes.c_int64
+    lib.tsq_bulk_gang.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+    ]
     lib.tsq_build_candidates.restype = None
     lib.tsq_build_candidates.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_void_p]
@@ -433,6 +438,39 @@ def bulk_mergen(recs, metas):
     if n < 0:
         raise RuntimeError(f"bulk mergen failed (code {n})")
     return out[:int(n)], metan
+
+
+def bulk_gang(recs, metas):
+    """Re-shape N (<= 8) blocks' bulk record streams into the
+    fixed-geometry gang stream for the round-4 co-scheduled kernel
+    (csrc/tsq_gang.cpp ABI). Returns (gang u32[], gmeta u32[16]):
+    sizes [0..3], n_win [4..7], per-window U/W segment round boundaries
+    [8..13], total rounds [14], nblk [15]."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native core not built (run `make -C csrc`)")
+    nblk = len(recs)
+    assert 1 <= nblk <= 8 and len(metas) == nblk
+    recs = [np.ascontiguousarray(r, dtype=np.uint32) for r in recs]
+    metas = [np.ascontiguousarray(m, dtype=np.uint32) for m in metas]
+    # worst case: one block holds every entry (others pad with null
+    # gangs), entries as short as one record each (4 -> nblk*16 words)
+    cap = nblk * 4 * max(max(len(r) for r in recs), 64) + 64 * nblk * 16
+    rp = (ctypes.c_void_p * nblk)(*[r.ctypes.data for r in recs])
+    mp = (ctypes.c_void_p * nblk)(*[m.ctypes.data for m in metas])
+    for _ in range(3):
+        out = np.empty(cap, dtype=np.uint32)
+        gmeta = np.zeros(16, dtype=np.uint32)
+        n = lib.tsq_bulk_gang(rp, mp, nblk, out.ctypes.data, cap,
+                              gmeta.ctypes.data)
+        if n >= 0:
+            return out[:int(n)], gmeta
+        if n != -101:  # not an overflow: don't retry
+            break
+        cap *= 2
+    raise RuntimeError(f"bulk gang merge failed (code {n})")
 
 
 # Per-block progress callback plumbing (the upstream writer thread's
