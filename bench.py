@@ -145,7 +145,7 @@ def slope_fit(points):
 
 
 def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
-                     level: int = 0, mask_arith=None):
+                     level: int = 0):
     """On-chip decode throughput (MB/s/chip) by the batch-slope method.
 
     kernel 'stream': the fused parser (raw payload -> bytes,
@@ -253,17 +253,13 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
     def run(args):
         if gang:
             from turbosqueeze_tpu.kernels import decode_gang as DG
-            return DG.decode_gang_batch(
-                *args, nblk=gang, unroll=unroll,
-                mask_arith=bool(mask_arith) if mask_arith is not None
-                else True)
+            return DG.decode_gang_batch(*args, nblk=gang, unroll=unroll)
         if kernel == "bulk":
-            return DB.decode_bulk_batch(*args, mask_arith=mask_arith)
+            return DB.decode_bulk_batch(*args)
         if kernel == "bulk2":
-            return DB.decode_bulk2_batch(*args, mask_arith=mask_arith)
+            return DB.decode_bulk2_batch(*args)
         if nway:
-            return DB.decode_bulkn_batch(*args, nblk=nway,
-                                         mask_arith=mask_arith)
+            return DB.decode_bulkn_batch(*args, nblk=nway)
         return DS.decode_stream_batch(*args)
 
     def timed(B, reps=6):
@@ -328,9 +324,12 @@ def bench_tpu_encode(data: bytes, native):
 
     @jax.jit
     def full(batch_u8, meta):
-        # find_candidates is 1-D (one block); batch it exactly as the
-        # production pipeline does (pipeline.py _find_candidates_sharded)
-        cand = jax.vmap(encode_xla.find_candidates)(batch_u8)
+        # find_candidates is 1-D (one block) and takes i32 byte values;
+        # batch and widen exactly as the production pipeline does
+        # (pipeline.py _sharded_candidates) — feeding it u8 silently
+        # overflows the v4 window build (u8 << 8 == 0)
+        cand = jax.vmap(encode_xla.find_candidates)(
+            batch_u8.astype(jnp.int32))
         B = batch_u8.shape[0]
         x = batch_u8.reshape(B, -1, 4).astype(jnp.int32)
         w = (x[..., 0] | (x[..., 1] << 8) | (x[..., 2] << 16)

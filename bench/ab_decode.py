@@ -31,20 +31,15 @@ def main():
     import jax
     assert jax.devices()[0].platform == "tpu", "needs the TPU tunnel"
 
-    cases = [
-        ("bulk  arith=0", "bulk", False),
-        ("bulk  arith=1", "bulk", True),
-        ("bulk2 arith=0", "bulk2", False),
-        ("bulk2 arith=1", "bulk2", True),
-        ("bulk4 arith=0", "bulk4", False),
-        ("bulk4 arith=1", "bulk4", True),
-    ]
+    # (mask_arith axis removed: decided round 4 — the arithmetic mask is
+    # the only variant; this script now A/Bs just the r3 co-schedule
+    # ladder for regression tracking vs bench/ab_gang.py)
+    cases = [("bulk", "bulk"), ("bulk2", "bulk2"), ("bulk4", "bulk4")]
     results = []
-    for label, kernel, arith in cases:
+    for label, kernel in cases:
         t0 = time.time()
         try:
-            mbps, resid = bench.bench_tpu_kernel(
-                data, native, kernel, mask_arith=arith)
+            mbps, resid = bench.bench_tpu_kernel(data, native, kernel)
             results.append((label, mbps, resid))
             print(f"{label}: {mbps:7.1f} MB/s/chip  residual {resid:.3f}  "
                   f"({time.time() - t0:.0f}s)", flush=True)

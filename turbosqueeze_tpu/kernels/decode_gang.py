@@ -54,7 +54,7 @@ GMETA_WORDS = 16
 _REC_SLOTS = 8  # 8 ring slots x (8,128) words
 
 
-def _gang_machinery(ring_ref, vring_ref, mask_arith):
+def _gang_machinery(ring_ref, vring_ref):
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
 
@@ -91,19 +91,14 @@ def _gang_machinery(ring_ref, vring_ref, mask_arith):
         isfillv = jax.lax.shift_right_logical(w1v, 31)
         val = jnp.where(isfillv == 1, (w1v & 0xFF) * 0x01010101, val)
         pos0 = lane8 * 4
-        if mask_arith:
-            s4 = jnp.clip(offv - pos0, 0, 4)
-            e4 = jnp.clip(offv + lnv - pos0, 0, 4)
-            all1 = jnp.int32(-1)
-            ms = jnp.where(s4 >= 4, 0, jax.lax.shift_left(all1, 8 * s4))
-            me = jnp.where(e4 >= 4, 0, jax.lax.shift_left(all1, 8 * e4))
-            m = ms & ~me
-        else:
-            m = jnp.zeros((8, LANES), jnp.int32)
-            for kk in range(4):
-                pos = pos0 + kk
-                inside = jnp.logical_and(pos >= offv, pos < offv + lnv)
-                m = m | jnp.where(inside, jnp.int32(0xFF) << (8 * kk), 0)
+        # byte-range mask from clamped shift ranges (the round-4 decided
+        # variant; see decode_bulk fold8)
+        s4 = jnp.clip(offv - pos0, 0, 4)
+        e4 = jnp.clip(offv + lnv - pos0, 0, 4)
+        all1 = jnp.int32(-1)
+        ms = jnp.where(s4 >= 4, 0, jax.lax.shift_left(all1, 8 * s4))
+        me = jnp.where(e4 >= 4, 0, jax.lax.shift_left(all1, 8 * e4))
+        m = ms & ~me
         contrib = val & m
         cv = contrib[0:4] | contrib[4:8]
         cv = cv[0:2] | cv[2:4]
@@ -125,7 +120,7 @@ def _stage_tail(u_ref, w_ref):
 
 def _decode_gang_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
                         nblk, unroll, lit_rows, rec_rows, out_rows,
-                        max_win=MAX_WIN, mask_arith=True):
+                        max_win=MAX_WIN):
     uw = refs[:2 * nblk]
     ring_ref, vring_ref = refs[2 * nblk:2 * nblk + 2]
     sem_lit, sem_out, sem_ring, sem_vring = refs[2 * nblk + 2:]
@@ -159,7 +154,7 @@ def _decode_gang_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
     for d in dlits:
         d.wait()
 
-    do_gang = _gang_machinery(ring_ref, vring_ref, mask_arith)
+    do_gang = _gang_machinery(ring_ref, vring_ref)
     rw = nblk * GANG_WORDS
     slack = unroll * rw
 
@@ -223,10 +218,10 @@ def _decode_gang_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "nblk", "unroll",
-                                    "out_rows", "max_win", "mask_arith"))
+                                    "out_rows", "max_win"))
 def decode_gang_batch(lit_words, gang_words, gmeta, *, nblk, unroll=2,
                       interpret=False, out_rows: int = OUT_ROWS,
-                      max_win: int = MAX_WIN, mask_arith=True):
+                      max_win: int = MAX_WIN):
     """Decode block groups through the gang-stream kernel.
 
     lit_words:  (B, lit_rows, 128) i32, B % nblk == 0 — per-block planes.
@@ -247,7 +242,7 @@ def decode_gang_batch(lit_words, gang_words, gmeta, *, nblk, unroll=2,
     kernel = functools.partial(_decode_gang_kernel, nblk=nblk,
                                unroll=unroll, lit_rows=lit_rows,
                                rec_rows=rec_rows, out_rows=out_rows,
-                               max_win=max_win, mask_arith=mask_arith)
+                               max_win=max_win)
     plane_scratch = []
     for _ in range(nblk):
         plane_scratch.append(

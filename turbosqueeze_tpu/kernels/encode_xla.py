@@ -42,13 +42,19 @@ def hash4_words(v4: jax.Array) -> jax.Array:
 def bytes_to_v4(block_i32: jax.Array) -> jax.Array:
     """Per-position little-endian 4-byte windows from a byte array (i32).
 
-    block_i32: (N,) i32 holding byte values (zero-padded by >=3).
-    Returns (N,) i32 where v4[i] = LE32(bytes[i:i+4]).
+    block_i32: (N,) i32 holding byte values. Returns (N,) i32 where
+    v4[i] = LE32(bytes[i:i+4]) with ZEROS shifted in past the end — the
+    format's buffer contract (native build_candidates reads zeroed
+    slack, csrc/tsq_core.h kEncInSlack). A plain roll() wraps the
+    block's FIRST bytes into the last three windows instead, which can
+    hand those positions accidentally "verified" candidates and change
+    emitted bytes near the block tail (caught by the composed-chain
+    compile test, round 4).
     """
     b0 = block_i32
-    b1 = jnp.roll(block_i32, -1)
-    b2 = jnp.roll(block_i32, -2)
-    b3 = jnp.roll(block_i32, -3)
+    b1 = jnp.roll(block_i32, -1).at[-1:].set(0)
+    b2 = jnp.roll(block_i32, -2).at[-2:].set(0)
+    b3 = jnp.roll(block_i32, -3).at[-3:].set(0)
     return b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
 

@@ -691,7 +691,7 @@ def _bulk_window_words(stream, table_window, mesh: Mesh,
 
     merged = {}
     if gang or nblk > 1:  # zip each group's record streams (round-robin)
-        for g in sorted({r // nblk for r in rows}):  # incl. padding groups
+        def merge(g):
             members = [prep_at(nblk * g + k) for k in range(nblk)]
             if gang:
                 merged[g] = native.bulk_gang([m[1] for m in members],
@@ -702,6 +702,9 @@ def _bulk_window_words(stream, table_window, mesh: Mesh,
             else:
                 merged[g] = native.bulk_mergen([m[1] for m in members],
                                                [m[2] for m in members])
+
+        with ThreadPoolExecutor() as pool:  # C releases the GIL
+            list(pool.map(merge, sorted({r // nblk for r in rows})))
         rec_rows = max((DBK.rows_for_bytes(4 * len(m[0]))
                         for m in merged.values()), default=8)
     else:

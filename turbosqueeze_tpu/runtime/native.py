@@ -462,6 +462,10 @@ def bulk_gang(recs, metas):
     mp = (ctypes.c_void_p * nblk)(*[m.ctypes.data for m in metas])
     for _ in range(3):
         out = np.empty(cap, dtype=np.uint32)
+        # the merged stream is tens of MB of fresh pages; THP advice cuts
+        # this box's pathological first-touch fault cost ~40x (see
+        # _advise_hugepages)
+        _advise_hugepages(out.ctypes.data, out.nbytes)
         gmeta = np.zeros(16, dtype=np.uint32)
         n = lib.tsq_bulk_gang(rp, mp, nblk, out.ctypes.data, cap,
                               gmeta.ctypes.data)
