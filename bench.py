@@ -300,13 +300,17 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
                       for t, sz in [timed(B, reps=12)]]
 
 
-def bench_tpu_encode(data: bytes, native):
+def bench_tpu_encode(data: bytes, native, emitter: str = "bulk"):
     """Device-resident compress throughput (MB/s/chip), batch-slope.
 
     Measures the full on-chip chain — phase-A candidate search
-    (kernels/encode_xla) + two-pass bulk emission (kernels/encode_bulk) —
-    and verifies every distinct block byte-identical to the host level-1
-    emission before timing (upstream hot loop tsq_encode.cpp:216-326).
+    (kernels/encode_xla) + device emission — and verifies every distinct
+    block byte-identical to the host level-1 emission before timing
+    (upstream hot loop tsq_encode.cpp:216-326). emitter='bulk' is the
+    two-pass decide+assemble chain (kernels/encode_bulk), 'scan' the
+    single-pass scalar emitter (kernels/encode_emit) — measured round 4:
+    the decide pass costs ~52 cyc/input-byte compiled vs the scan's
+    ~34, so the older emitter composes FASTER; main() reports the best.
     Returns (mbps, residual); raises SlopeRejected on a garbage fit."""
     import jax
     import jax.numpy as jnp
@@ -339,6 +343,8 @@ def bench_tpu_encode(data: bytes, native):
                     ((0, 0), (0, EE.IN_ROWS - rows), (0, 0)))
         c = jnp.pad(cand, ((0, 0), (0, EE.CAND_ROWS * 128 - (1 << 22))),
                     constant_values=-1).reshape(B, EE.CAND_ROWS, 128)
+        if emitter == "scan":
+            return EE.emit_batch(w, c, meta, ext=True)
         return EB.emit_bulk_batch(w, c, meta, ext=True)
 
     def make_args(B):
@@ -356,7 +362,8 @@ def bench_tpu_encode(data: bytes, native):
         words, osz = full(*args)
         words, osz = np.asarray(words), np.asarray(osz)
         for b in range(B):  # verify EVERY timed block, repeats included
-            assert int(osz[b, 2]) == 0, f"emit overflow on block {b}"
+            if emitter == "bulk":
+                assert int(osz[b, 2]) == 0, f"emit overflow on block {b}"
             got = EE.payload_from_words(words[b], int(osz[b, 0]))
             assert got == wants[b % n_src], \
                 f"device emit mismatch on block {b}"
@@ -541,13 +548,20 @@ def main():
                 except Exception as e:
                     l2 = None
                     log(f"tpu level-2 stream bench failed: {e}")
-                try:
-                    tpu_enc, enc_resid = bench_tpu_encode(data, native)
-                    log(f"tpu: device-resident compress (phaseA+bulk emit) "
-                        f"{tpu_enc:.0f} MB/s/chip (residual "
-                        f"{enc_resid:.3f})")
-                except Exception as e:
-                    log(f"tpu encode bench failed: {e}")
+                enc_variants = {}
+                for emitter in ("scan", "bulk"):
+                    try:
+                        m, r = bench_tpu_encode(data, native, emitter)
+                        enc_variants[emitter] = (m, r)
+                        log(f"tpu: device-resident compress "
+                            f"(phaseA + {emitter} emit) {m:.0f} MB/s/chip "
+                            f"(residual {r:.3f})")
+                    except Exception as e:
+                        log(f"tpu encode[{emitter}] bench failed: {e}")
+                if enc_variants:
+                    best_e = max(enc_variants, key=lambda k:
+                                 enc_variants[k][0])
+                    tpu_enc, enc_resid = enc_variants[best_e]
                 # e2e production path once, for the round-over-round trend
                 # (tunnel/host-bound on this box; labeled as such)
                 try:
