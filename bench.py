@@ -282,6 +282,10 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
 
     step = nway or 1
     bmax = min(16, max(2 * step, (n_src // step) * step))
+    if bmax < 3 * step:
+        # wide co-schedules (step 5-8) need a third batch point beyond
+        # the 16 source blocks; make_args cycles blocks modulo n_src
+        bmax = 3 * step
     batches = sorted({step, max(2 * step, bmax // 2 // step * step), bmax})
     t0 = time.time()
     points = [(sz, t) for B in batches for t, sz in [timed(B)]]
@@ -525,7 +529,8 @@ def main():
             import jax
 
             if jax.devices()[0].platform == "tpu":
-                for kernel in ("gang4.4", "gang2.4", "bulk2", "stream"):
+                for kernel in ("gang6.4", "gang4.4", "gang2.4", "bulk2",
+                               "stream"):
                     try:
                         tpu[kernel], resid[kernel] = bench_tpu_kernel(
                             data, native, kernel)

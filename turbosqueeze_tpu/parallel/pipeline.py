@@ -651,7 +651,14 @@ def _bulk_window_words(stream, table_window, mesh: Mesh,
     # groups must be device-local: B is a multiple of gran so each
     # device's contiguous span divides evenly into groups (4 covers the
     # auto ladder {4, 2, 1})
-    gran = (4 if coschedule in (0, -1) else coschedule) * n_dev
+    # auto ladders: gang {6, 4, 2, 1}, bulkn {4, 2, 1}; gran must cover
+    # every ladder rung so each device's span divides into groups. The
+    # 6-wide rung (measured +12% over 4, bench/ab_gang.py) only engages
+    # when the window already carries >= 12 blocks per device — small
+    # windows would pay 3x batch padding for it
+    wide = coschedule == -1 and n >= 12 * n_dev
+    gran = (12 if wide else 4 if coschedule in (0, -1)
+            else coschedule) * n_dev
     B = max(-(-n // gran) * gran, gran)
     sharding = mesh_mod.block_sharding(mesh)
     multi = jax.process_count() > 1
@@ -684,7 +691,8 @@ def _bulk_window_words(stream, table_window, mesh: Mesh,
 
     gang = coschedule == -1
     if coschedule in (0, -1):  # auto: largest group that fits VMEM
-        nblk = next((k for k in (4, 2)
+        ladder = (6, 4, 2) if wide else (4, 2)
+        nblk = next((k for k in ladder
                      if DBK.coschedule_fit(lit_rows, k)), 1)
     else:
         nblk = coschedule
@@ -980,6 +988,11 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
         mesh = mesh_mod.block_mesh()
     interpret = interpret or jax.default_backend() == "cpu"
     if window_blocks <= 0:
+        # default windows are 4 blocks/device; passing window_blocks >=
+        # 12/device unlocks the gang path's 6-wide co-schedule rung
+        # (+12% kernel rate, bench/ab_gang.py) at the cost of coarser
+        # host/device pipelining — right for production hosts, wrong for
+        # this tunnel-bound dev box (measured 2.5 vs 4.9 MB/s e2e here)
         window_blocks = 4 * mesh.devices.size
 
     hdr, table = scan_block_table(stream)
