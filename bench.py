@@ -180,11 +180,14 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
 
     gang = 0
     unroll = 2
-    if kernel.startswith("gang"):  # gangN or gangN.U (N blocks, unroll U)
-        spec = kernel[4:].split(".")
+    srecs = 8
+    if kernel.startswith("gang"):  # gangN[.U[.R]]: N blocks, unroll U,
+        spec = kernel[4:].split(".")  # R records per slot (8 or 16)
         gang = int(spec[0])
         if len(spec) > 1:
             unroll = int(spec[1])
+        if len(spec) > 2:
+            srecs = int(spec[2])
     nway = {"bulk2": 2, "bulk3": 3, "bulk4": 4}.get(kernel, 0)
     if kernel == "bulkn":
         # auto-size the co-schedule group to the VMEM budget, like the
@@ -197,7 +200,7 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
             f"(lit_rows {probe[0].shape[1]})")
     if gang:
         from turbosqueeze_tpu.kernels import decode_gang as DG
-        planes = DG.prep_gang(blocks, gang)
+        planes = DG.prep_gang(blocks, gang, srecs)
         assert planes is not None, "bulk prep fell back on bench corpus"
         lit_words, rec_words, meta, _ = planes
         nway = gang
@@ -253,7 +256,8 @@ def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
     def run(args):
         if gang:
             from turbosqueeze_tpu.kernels import decode_gang as DG
-            return DG.decode_gang_batch(*args, nblk=gang, unroll=unroll)
+            return DG.decode_gang_batch(*args, nblk=gang, unroll=unroll,
+                                        slot_recs=srecs)
         if kernel == "bulk":
             return DB.decode_bulk_batch(*args)
         if kernel == "bulk2":
@@ -529,8 +533,8 @@ def main():
             import jax
 
             if jax.devices()[0].platform == "tpu":
-                for kernel in ("gang6.4", "gang4.4", "gang2.4", "bulk2",
-                               "stream"):
+                for kernel in ("gang6.4", "gang4.4.16", "gang2.4.16",
+                               "bulk2", "stream"):
                     try:
                         tpu[kernel], resid[kernel] = bench_tpu_kernel(
                             data, native, kernel)

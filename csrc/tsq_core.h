@@ -222,8 +222,8 @@ constexpr uint32_t kGangMaxBlocks = 8;
 constexpr uint32_t kGangAlignRounds = 8;
 
 int64_t bulk_gang(const uint32_t* const* recs, const uint32_t* const* mas,
-                  uint32_t nblk, uint32_t* out, uint64_t cap,
-                  uint32_t* gmeta);
+                  uint32_t nblk, uint32_t slot_recs, uint32_t* out,
+                  uint64_t cap, uint32_t* gmeta);
 
 // meta[0]=block size, [1]=n_windows, [2]=literal bytes, [3]=record
 // words, [4+w]=record word offset where window w starts. With a preset

@@ -49,7 +49,9 @@ namespace {
 constexpr uint32_t kNullW1 = 0x80000000u;  // FILL byte 0, source row 0
 
 // Cursor over one block's records of one phase (U or W) within one
-// window's entry span [p, end).
+// window's entry span [p, end). kRecs records per slot (8 = one record
+// per sublane; 16 halves the kernel's per-gang fixed costs — acc
+// load/store, row read — at slightly higher entry padding).
 struct PhaseCur {
   const uint32_t* rec = nullptr;
   uint32_t p = 0, end = 0;
@@ -84,14 +86,14 @@ struct PhaseCur {
 
   bool done() const { return idx >= cnt; }
 
-  // write one 16-word gang slot; returns false when exhausted (the
-  // caller emits a null gang instead)
-  bool slot(uint32_t* o) {
+  // write one gang slot of `recs` records (2*recs words); returns false
+  // when exhausted (the caller emits a null gang instead)
+  bool slot(uint32_t* o, uint32_t recs) {
     if (done()) return false;
     uint32_t take = cnt - idx;
-    if (take > 8) take = 8;
+    if (take > recs) take = recs;
     std::memcpy(o, rec + base + 2 * idx, 8 * take);
-    for (uint32_t j = take; j < 8; ++j) {
+    for (uint32_t j = take; j < recs; ++j) {
       o[2 * j] = 0;
       o[2 * j + 1] = kNullW1;
     }
@@ -102,8 +104,8 @@ struct PhaseCur {
   }
 };
 
-void null_gang(uint32_t* o) {
-  for (uint32_t j = 0; j < 8; ++j) {
+void null_gang(uint32_t* o, uint32_t recs) {
+  for (uint32_t j = 0; j < recs; ++j) {
     o[2 * j] = 0;
     o[2 * j + 1] = kNullW1;
   }
@@ -112,9 +114,10 @@ void null_gang(uint32_t* o) {
 }  // namespace
 
 int64_t bulk_gang(const uint32_t* const* recs, const uint32_t* const* mas,
-                  uint32_t nblk, uint32_t* out, uint64_t cap,
-                  uint32_t* gmeta) {
+                  uint32_t nblk, uint32_t slot_recs, uint32_t* out,
+                  uint64_t cap, uint32_t* gmeta) {
   if (nblk == 0 || nblk > kGangMaxBlocks) return kBulkOverflow;
+  if (slot_recs != 8 && slot_recs != 16) return kBulkOverflow;
   for (uint32_t i = 0; i < kGangMetaWords; ++i) gmeta[i] = 0;
   uint32_t n_win = 0;
   for (uint32_t k = 0; k < nblk; ++k) {
@@ -123,7 +126,7 @@ int64_t bulk_gang(const uint32_t* const* recs, const uint32_t* const* mas,
     if (mas[k][1] > n_win) n_win = mas[k][1];
   }
   if (n_win > kBulkMetaWords - 5) return kBulkOverflow;  // > 3 windows
-  const uint64_t round_words = (uint64_t)nblk * 16;
+  const uint64_t round_words = (uint64_t)nblk * 2 * slot_recs;
   uint64_t rounds = 0;
   PhaseCur cur[kGangMaxBlocks];
   for (uint32_t w = 0; w < n_win; ++w) {
@@ -137,8 +140,8 @@ int64_t bulk_gang(const uint32_t* const* recs, const uint32_t* const* mas,
         if (!align) break;
         if ((rounds + 1) * round_words > cap) return kBulkOverflow;
         uint32_t* o = out + rounds * round_words;
-        for (uint32_t k = 0; k < nblk; ++k, o += 16)
-          if (!cur[k].slot(o)) null_gang(o);
+        for (uint32_t k = 0; k < nblk; ++k, o += 2 * slot_recs)
+          if (!cur[k].slot(o, slot_recs)) null_gang(o, slot_recs);
         ++rounds;
       }
       if (8 + 2 * w + phase < kGangMetaWords - 2)
@@ -160,8 +163,9 @@ extern "C" {
 
 int64_t tsq_bulk_gang(const uint32_t* const* recs,
                       const uint32_t* const* metas, uint32_t nblk,
-                      uint32_t* out, uint64_t cap, uint32_t* gmeta) {
-  return tsq::bulk_gang(recs, metas, nblk, out, cap, gmeta);
+                      uint32_t slot_recs, uint32_t* out, uint64_t cap,
+                      uint32_t* gmeta) {
+  return tsq::bulk_gang(recs, metas, nblk, slot_recs, out, cap, gmeta);
 }
 
 }  // extern "C"

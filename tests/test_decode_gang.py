@@ -26,20 +26,22 @@ def _native():
     assert native.available()
 
 
-def _decode_all(datas, levels, nblk, unroll=2):
+def _decode_all(datas, levels, nblk, unroll=2, slot_recs=8):
     from turbosqueeze_tpu.runtime import native
 
     pe = [(native.compress(d, True, level=lv)[19:], True)
           for d, lv in zip(datas, levels)]
-    planes = DG.prep_gang(pe, nblk)
+    planes = DG.prep_gang(pe, nblk, slot_recs)
     assert planes is not None
     lw, gw, gm, sizes = planes
     assert lw.shape[0] % nblk == 0
     host = np.asarray(DG.decode_gang_batch(lw, gw, gm, nblk=nblk,
-                                           unroll=unroll, interpret=True))
+                                           unroll=unroll, interpret=True,
+                                           slot_recs=slot_recs))
     for k, d in enumerate(datas):
         got = host[k].reshape(-1).view("<u1")[:sizes[k]].tobytes()
-        assert got == d, f"gang{nblk}.{unroll} mismatch on block {k}"
+        assert got == d, \
+            f"gang{nblk}.{unroll}.{slot_recs} mismatch on block {k}"
 
 
 @pytest.mark.parametrize("nblk", [1, 2, 3, 4])
@@ -60,6 +62,14 @@ def test_unroll_variants(unroll):
     (segments are padded to kGangAlignRounds = 8 rounds)."""
     datas = [synthetic_text(400_000, seed=45), bytes(100_000)]
     _decode_all(datas, (0, 2), 2, unroll)
+
+
+def test_slot_recs_16():
+    """16-record slots (32-word gangs): same records, half the per-gang
+    fixed costs; must stay bit-exact across mixed corpora."""
+    datas = [synthetic_text(400_000, seed=45), bytes(100_000),
+             synthetic_binary(300_000, seed=47)]
+    _decode_all(datas, (0, 2, 1), 2, slot_recs=16)
 
 
 def test_two_windows_tail_reach():

@@ -125,19 +125,23 @@ def test_bulk_kernels_compiled(tpu, bulk_blocks, impl):
         assert got == want, f"{impl} mismatch on block {b}"
 
 
-@pytest.mark.parametrize("nblk,unroll", [(2, 2), (4, 2), (4, 1)])
-def test_gang_kernel_compiled(tpu, bulk_blocks, nblk, unroll):
+@pytest.mark.parametrize("nblk,unroll,srecs",
+                         [(2, 2, 8), (4, 2, 8), (4, 1, 8), (2, 4, 16),
+                          (4, 4, 16)])
+def test_gang_kernel_compiled(tpu, bulk_blocks, nblk, unroll, srecs):
     """The round-4 gang-stream kernel compiled via Mosaic, multi-window
-    block included."""
+    block and both slot geometries included."""
     from turbosqueeze_tpu.kernels import decode_gang as DG
 
     blocks, wants = bulk_blocks
-    lw, gw, gm, sizes = DG.prep_gang(blocks, nblk)
-    out = DG.decode_gang_batch(lw, gw, gm, nblk=nblk, unroll=unroll)
+    lw, gw, gm, sizes = DG.prep_gang(blocks, nblk, srecs)
+    out = DG.decode_gang_batch(lw, gw, gm, nblk=nblk, unroll=unroll,
+                               slot_recs=srecs)
     host = np.asarray(out)
     for b, want in enumerate(wants):
         got = host[b].reshape(-1).view("<u1")[:sizes[b]].tobytes()
-        assert got == want, f"gang{nblk}.{unroll} mismatch on block {b}"
+        assert got == want, \
+            f"gang{nblk}.{unroll}.{srecs} mismatch on block {b}"
 
 
 def test_bulk_dict_compiled(tpu):

@@ -48,40 +48,43 @@ from .decode_bulk import (MAX_WIN, TAIL_ROWS, WIN_ROWS, pack_lit_words,
                           rows_for_bytes)
 from .decode_tokens import LANES, OUT_ROWS, ROW_BYTES
 
-GANG_WORDS = 16
+GANG_WORDS = 16      # words per 8-record slot (2 per record)
 GMETA_WORDS = 16
 
 _REC_SLOTS = 8  # 8 ring slots x (8,128) words
 
 
-def _gang_machinery(ring_ref, vring_ref):
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+def _gang_machinery(ring_ref, vring_ref, recs=8):
+    laneR = jax.lax.broadcasted_iota(jnp.int32, (recs, LANES), 1)
+    rowR = jax.lax.broadcasted_iota(jnp.int32, (recs, LANES), 0)
 
     def do_gang(q, src_ref, w_ref):
-        """One gang at stream word q (16-aligned, never row-straddling):
-        load row accumulator, fold 8 records, store the row."""
+        """One gang at stream word q (2*recs-aligned, never
+        row-straddling): load row accumulator, fold `recs` records,
+        store the row. recs=16 halves the per-gang fixed costs (acc
+        load/store, scalar row read) at double per-op tile height."""
         rr = (q >> 7) & 63
         lo = q & (LANES - 1)
         row = (ring_ref[rr, lo] >> 19) & 0xFFF
         acc = w_ref[pl.ds(row, 1), :]
         # parameter extraction: one vring row broadcast + two takes
-        # (lo <= 112 so lanes lo..lo+15 never wrap the stream row)
-        a8 = jnp.broadcast_to(vring_ref[pl.ds(rr, 1), :], (8, LANES))
-        L = lo + 2 * row8
+        # (slots are 2*recs-aligned, so lanes lo..lo+2*recs-1 never wrap
+        # the 128-word stream row)
+        a8 = jnp.broadcast_to(vring_ref[pl.ds(rr, 1), :], (recs, LANES))
+        L = lo + 2 * rowR
         w0v = jnp.take_along_axis(a8, L, axis=1)
         w1v = jnp.take_along_axis(a8, L + 1, axis=1)
-        # source rows: 8 scalar-addressed single-row slices
+        # source rows: `recs` scalar-addressed single-row slices
         s0 = jnp.concatenate(
             [src_ref[pl.ds((ring_ref[rr, lo + 2 * k + 1] & 0x0FFFFFFF)
                            >> 9, 1), :]
-             for k in range(8)], axis=0)
+             for k in range(recs)], axis=0)
         offv = (w0v >> 10) & 511    # row bits live above bit 18
         lnv = w0v & 1023
         ev = (w1v & 511) - offv
         eqv = ev >> 2               # arithmetic: floor for negatives
-        g0 = jnp.take_along_axis(s0, (lane8 + eqv) & (LANES - 1), axis=1)
-        g1 = jnp.take_along_axis(s0, (lane8 + eqv + 1) & (LANES - 1),
+        g0 = jnp.take_along_axis(s0, (laneR + eqv) & (LANES - 1), axis=1)
+        g1 = jnp.take_along_axis(s0, (laneR + eqv + 1) & (LANES - 1),
                                  axis=1)
         omv = (ev & 3) * 8
         val = jnp.where(
@@ -90,7 +93,7 @@ def _gang_machinery(ring_ref, vring_ref):
             | jax.lax.shift_left(g1, 32 - jnp.maximum(omv, 8)))
         isfillv = jax.lax.shift_right_logical(w1v, 31)
         val = jnp.where(isfillv == 1, (w1v & 0xFF) * 0x01010101, val)
-        pos0 = lane8 * 4
+        pos0 = laneR * 4
         # byte-range mask from clamped shift ranges (the round-4 decided
         # variant; see decode_bulk fold8)
         s4 = jnp.clip(offv - pos0, 0, 4)
@@ -99,13 +102,12 @@ def _gang_machinery(ring_ref, vring_ref):
         ms = jnp.where(s4 >= 4, 0, jax.lax.shift_left(all1, 8 * s4))
         me = jnp.where(e4 >= 4, 0, jax.lax.shift_left(all1, 8 * e4))
         m = ms & ~me
-        contrib = val & m
-        cv = contrib[0:4] | contrib[4:8]
-        cv = cv[0:2] | cv[2:4]
-        cv = cv[0:1] | cv[1:2]
-        mv = m[0:4] | m[4:8]
-        mv = mv[0:2] | mv[2:4]
-        mv = mv[0:1] | mv[1:2]
+        cv = val & m
+        mv = m
+        while cv.shape[0] > 1:  # tree-OR fold to one output row
+            h = cv.shape[0] // 2
+            cv = cv[0:h] | cv[h:]
+            mv = mv[0:h] | mv[h:]
         w_ref[pl.ds(row, 1), :] = cv | (acc & ~mv)
 
     return do_gang
@@ -120,7 +122,7 @@ def _stage_tail(u_ref, w_ref):
 
 def _decode_gang_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
                         nblk, unroll, lit_rows, rec_rows, out_rows,
-                        max_win=MAX_WIN):
+                        max_win=MAX_WIN, slot_recs=8):
     uw = refs[:2 * nblk]
     ring_ref, vring_ref = refs[2 * nblk:2 * nblk + 2]
     sem_lit, sem_out, sem_ring, sem_vring = refs[2 * nblk + 2:]
@@ -154,8 +156,9 @@ def _decode_gang_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
     for d in dlits:
         d.wait()
 
-    do_gang = _gang_machinery(ring_ref, vring_ref)
-    rw = nblk * GANG_WORDS
+    do_gang = _gang_machinery(ring_ref, vring_ref, slot_recs)
+    gw = 2 * slot_recs
+    rw = nblk * gw
     slack = unroll * rw
 
     def segment(r0, r_end, waited, phase_w):
@@ -179,7 +182,7 @@ def _decode_gang_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
                                      (r, waited))
             for u in range(unroll):
                 for k in range(nblk):
-                    do_gang(q0 + (u * nblk + k) * GANG_WORDS,
+                    do_gang(q0 + (u * nblk + k) * gw,
                             uw[2 * k + phase_w], uw[2 * k + 1])
             return r + unroll, waited
 
@@ -218,10 +221,10 @@ def _decode_gang_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "nblk", "unroll",
-                                    "out_rows", "max_win"))
+                                    "out_rows", "max_win", "slot_recs"))
 def decode_gang_batch(lit_words, gang_words, gmeta, *, nblk, unroll=2,
                       interpret=False, out_rows: int = OUT_ROWS,
-                      max_win: int = MAX_WIN):
+                      max_win: int = MAX_WIN, slot_recs: int = 8):
     """Decode block groups through the gang-stream kernel.
 
     lit_words:  (B, lit_rows, 128) i32, B % nblk == 0 — per-block planes.
@@ -239,10 +242,12 @@ def decode_gang_batch(lit_words, gang_words, gmeta, *, nblk, unroll=2,
     rec_rows = gang_words.shape[1]
     if lit_rows % 8 or rec_rows % 8:
         raise ValueError("plane rows must be multiples of 8")
+    if slot_recs not in (8, 16):
+        raise ValueError("slot_recs must be 8 or 16")
     kernel = functools.partial(_decode_gang_kernel, nblk=nblk,
                                unroll=unroll, lit_rows=lit_rows,
                                rec_rows=rec_rows, out_rows=out_rows,
-                               max_win=max_win)
+                               max_win=max_win, slot_recs=slot_recs)
     plane_scratch = []
     for _ in range(nblk):
         plane_scratch.append(
@@ -279,7 +284,7 @@ def pack_gang_words(rec: np.ndarray, rec_rows: int) -> np.ndarray:
     return buf.view(np.int32).reshape(rec_rows, LANES)
 
 
-def prep_gang(payloads_ext, nblk: int):
+def prep_gang(payloads_ext, nblk: int, slot_recs: int = 8):
     """bulk_prep + bulk_gang a list of (payload, ext); returns packed
     batch planes or None if any block needs the fused-parser fallback.
 
@@ -302,7 +307,7 @@ def prep_gang(payloads_ext, nblk: int):
     Bn = len(preps)
     merged = [native.bulk_gang(
         [preps[nblk * g + k][1] for k in range(nblk)],
-        [preps[nblk * g + k][2] for k in range(nblk)])
+        [preps[nblk * g + k][2] for k in range(nblk)], slot_recs)
         for g in range(Bn // nblk)]
     lit_rows = max(rows_for_bytes(len(p[0])) for p in preps)
     rec_rows = max(rows_for_bytes(4 * len(m[0])) for m in merged)

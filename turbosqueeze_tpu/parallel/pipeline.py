@@ -585,7 +585,7 @@ def _sharded_decode_bulkn(mesh: Mesh, nblk: int, lit_rows: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _sharded_decode_gang(mesh: Mesh, nblk: int, unroll: int,
+def _sharded_decode_gang(mesh: Mesh, nblk: int, unroll: int, srecs: int,
                          lit_rows: int, rec_rows: int,
                          out_rows: int = DK.OUT_ROWS,
                          max_win: int = DBK.MAX_WIN):
@@ -603,6 +603,7 @@ def _sharded_decode_gang(mesh: Mesh, nblk: int, unroll: int,
         interp = jax.default_backend() == "cpu"
         return DGK.decode_gang_batch(lit_words, gang_words, gmeta,
                                      nblk=nblk, unroll=unroll,
+                                     slot_recs=srecs,
                                      interpret=interp, out_rows=out_rows,
                                      max_win=max_win)
 
@@ -613,6 +614,12 @@ def _sharded_decode_gang(mesh: Mesh, nblk: int, unroll: int,
 # winner on v5e; the merger pads segments to kGangAlignRounds so any
 # divisor of 8 compiles
 GANG_UNROLL = 4
+# records per gang slot by co-schedule width (one-session A/B, v5e):
+# at nblk<=4 the 16-record slots' halved per-gang fixed costs win
+# (nblk=2: 868 vs 593 MB/s/chip — the rung VMEM-capped corpora actually
+# run; nblk=4: 1000 vs 930); at nblk=6 the wider tiles spill (956 vs
+# 1077), so the widest rung keeps 8-record slots
+GANG_SRECS = {1: 8, 2: 16, 3: 16, 4: 16, 6: 8}
 
 
 def _bulk_window_words(stream, table_window, mesh: Mesh,
@@ -697,13 +704,15 @@ def _bulk_window_words(stream, table_window, mesh: Mesh,
     else:
         nblk = coschedule
 
+    srecs = GANG_SRECS.get(nblk, 8) if gang else 8
     merged = {}
     if gang or nblk > 1:  # zip each group's record streams (round-robin)
         def merge(g):
             members = [prep_at(nblk * g + k) for k in range(nblk)]
             if gang:
                 merged[g] = native.bulk_gang([m[1] for m in members],
-                                             [m[2] for m in members])
+                                             [m[2] for m in members],
+                                             srecs)
             elif coschedule == 2:  # pair kernel's 8-word meta ABI
                 a, c = members
                 merged[g] = native.bulk_merge2(a[1], a[2], c[1], c[2])
@@ -755,8 +764,8 @@ def _bulk_window_words(stream, table_window, mesh: Mesh,
                                     sharding, pack_meta)
         if gang:
             words = _sharded_decode_gang(
-                mesh, nblk, GANG_UNROLL, lit_rows, rec_rows, out_rows,
-                max_win)(lit_dev, rec_dev, meta_dev)
+                mesh, nblk, GANG_UNROLL, srecs, lit_rows, rec_rows,
+                out_rows, max_win)(lit_dev, rec_dev, meta_dev)
         elif coschedule == 2:
             words = _sharded_decode_bulk2(
                 mesh, lit_rows, rec_rows, out_rows, max_win)(

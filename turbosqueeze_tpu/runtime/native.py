@@ -147,7 +147,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tsq_bulk_gang.restype = ctypes.c_int64
     lib.tsq_bulk_gang.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
-        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+        ctypes.c_uint32, ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_void_p,
     ]
     lib.tsq_build_candidates.restype = None
     lib.tsq_build_candidates.argtypes = [
@@ -440,7 +441,7 @@ def bulk_mergen(recs, metas):
     return out[:int(n)], metan
 
 
-def bulk_gang(recs, metas):
+def bulk_gang(recs, metas, slot_recs: int = 8):
     """Re-shape N (<= 8) blocks' bulk record streams into the
     fixed-geometry gang stream for the round-4 co-scheduled kernel
     (csrc/tsq_gang.cpp ABI). Returns (gang u32[], gmeta u32[16]):
@@ -467,8 +468,8 @@ def bulk_gang(recs, metas):
         # _advise_hugepages)
         _advise_hugepages(out.ctypes.data, out.nbytes)
         gmeta = np.zeros(16, dtype=np.uint32)
-        n = lib.tsq_bulk_gang(rp, mp, nblk, out.ctypes.data, cap,
-                              gmeta.ctypes.data)
+        n = lib.tsq_bulk_gang(rp, mp, nblk, slot_recs, out.ctypes.data,
+                              cap, gmeta.ctypes.data)
         if n >= 0:
             return out[:int(n)], gmeta
         if n != -101:  # not an overflow: don't retry
