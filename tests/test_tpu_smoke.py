@@ -161,6 +161,37 @@ def test_bulk_dict_compiled(tpu):
     assert got == data
 
 
+def test_gang_dict_compiled(tpu):
+    """Dictionary-extended gang decode (third window possible, dict
+    staged as a literal-plane copy) compiled via Mosaic."""
+    from turbosqueeze_tpu.kernels import decode_bulk as DB
+    from turbosqueeze_tpu.kernels import decode_gang as DG
+    from turbosqueeze_tpu.runtime import native
+    from turbosqueeze_tpu.utils.corpus import synthetic_text
+
+    if not native.available():
+        pytest.skip("native core not built")
+    dictionary = synthetic_text(32 * 1024, seed=3)
+    data = synthetic_text(96 * 1024, seed=4)
+    payload = native.compress_dict(data, dictionary, True)[19:]
+    r = native.bulk_prep(payload, True, dictionary)
+    assert r is not None
+    lit, rec, meta = r
+    gw, gm = native.bulk_gang([rec], [meta])
+    lit_rows = DB.rows_for_bytes(len(lit))
+    rec_rows = DB.rows_for_bytes(4 * len(gw))
+    out = DG.decode_gang_batch(
+        DB.pack_lit_words(lit, lit_rows)[None],
+        DG.pack_gang_words(gw, rec_rows)[None],
+        gm.astype(np.int64).astype(np.int32)[None],
+        nblk=1, out_rows=3 * DB.WIN_ROWS, max_win=3)
+    size = int(meta[0])
+    base = len(dictionary)
+    got = (np.asarray(out)[0].reshape(-1).view("<u1")
+           [base:base + size].tobytes())
+    assert got == data
+
+
 def test_composed_device_compress_compiled(tpu):
     """The COMPOSED device compress chain — phase-A candidate search and
     the two-pass bulk emitter in ONE jit, exactly as bench_tpu_encode and
