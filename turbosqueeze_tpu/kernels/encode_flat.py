@@ -59,10 +59,13 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .decode_tokens import LANES, ROW_BYTES
 from .encode_bulk import OUT_ROWS_BULK
-from .encode_emit import IN_ROWS, _lsr
+from .encode_emit import (IN_ROWS, CAND_ROWS, _NONE, _len_code,
+                          _code_width, _lsr, _tzb32, make_input_reader)
 
 _INF = jnp.int32(1 << 30)          # out-position key for dropped elements
 DESC_ROWS = 16384                  # 2^21 symbols (worst case ~1.7M/block)
@@ -232,6 +235,638 @@ def layout_batch(desc, nsym, input_words, meta, *, ext=True,
     ovf = jnp.logical_or(jfin > J - 64, nsym > S - 64).astype(jnp.int32)
     osz = osz.at[:, 2].set(ovf)
     return words, osz
+
+
+# --- the flat gang decide kernel ---------------------------------------------
+#
+# nblk mutually independent decision chains interleaved in one loop body
+# (the decode-gang trick applied to the encode parse). Each chain's step
+# is one of three straight-line actions picked by selects:
+#
+#   A  literal drain: one <=16-byte run descriptor from [rs, le)
+#   B1 scan+probe:    nv jump; big gaps turn into drain quanta (the loop
+#                     re-runs idempotently); at a stop, head-candidate
+#                     probe + flush-at-32 bookkeeping (host order: probe
+#                     under the pre-flush anchor, flush, revalidate)
+#   B2 match:         inline 8-byte extend, window cap, emit, bump,
+#                     re-probe for chained matches
+#
+# Everything data-dependent-loopy is a REQUEST serviced by ONE rare-path
+# cond at the body end (ring catchup, candidate-chain walks, >=8-byte
+# extends, descriptor-slot ships); the requesting step retries next
+# iteration, consuming the service result from override registers
+# (ready bits). Byte semantics follow encode_bulk._decide_kernel (host
+# parity: csrc encode_candidates_impl, upstream loop
+# tsq_encode.cpp:216-326); this kernel only APPENDS descriptors — the
+# payload bytes are reconstructed by layout_batch above.
+
+_IN_SLOTS = 32
+_POSRING_SLOTS = 4
+_DESC_SLOTS = 4
+_SLOT_ROWS = 8
+_SLOT_BYTES = _SLOT_ROWS * ROW_BYTES
+
+# modes
+_M_SCAN = 0
+_M_MF = 2        # first match step after a stop
+_M_MFR = 3       # same, revalidate (the stop's flush fired)
+_M_MCH = 4       # chained match
+_M_DONE = 5
+# request bits
+_RQ_CATCH = 1
+_RQ_WALK = 2
+_RQ_EXT = 4
+_RQ_SHIP = 8
+# ready bits
+_RD_POS = 1
+_RD_KLEN = 2
+
+# per-block state register indices
+(_I, _RS, _LE, _ANCH, _NSYM, _POS, _KLEN, _MODE, _REQ, _RDY, _WP, _CT,
+ _WIN, _WCA, _WNV, _DOF) = range(16)
+_NREG = 16
+
+
+def _flat_decide_kernel(meta_ref, in_hbm, cand_hbm, nv_hbm, desc_hbm,
+                        osz_ref, *scratch, nblk, ext, desc_rows):
+    g = pl.program_id(0)
+    rings = scratch[:4 * nblk]
+    sems = scratch[4 * nblk:8 * nblk]
+
+    def ring(k, which):
+        return rings[4 * k + which]
+
+    def sem(k, which):
+        return sems[4 * k + which]
+
+    blocks = [g * nblk + k for k in range(nblk)]
+    sizes = [meta_ref[b, 0] for b in blocks]
+    bases = [meta_ref[b, 1] for b in blocks]
+    ends = [bases[k] + sizes[k] for k in range(nblk)]
+
+    # --- ring DMAs (encode_bulk protocol: slots [0, w] complete,
+    # (w, w+2] in flight) ------------------------------------------------------
+    def in_dma(k, w):
+        row0 = jnp.clip(w * _SLOT_ROWS, 0, IN_ROWS - _SLOT_ROWS)
+        return pltpu.make_async_copy(
+            in_hbm.at[blocks[k], pl.ds(row0, _SLOT_ROWS)],
+            ring(k, 0).at[pl.ds((w & (_IN_SLOTS - 1)) * _SLOT_ROWS,
+                                _SLOT_ROWS)],
+            sem(k, 0).at[w & 3])
+
+    def cand_dma(k, w):
+        row0 = jnp.clip(w * _SLOT_ROWS, 0, CAND_ROWS - _SLOT_ROWS)
+        return pltpu.make_async_copy(
+            cand_hbm.at[blocks[k], pl.ds(row0, _SLOT_ROWS)],
+            ring(k, 1).at[pl.ds((w & (_POSRING_SLOTS - 1)) * _SLOT_ROWS,
+                                _SLOT_ROWS)],
+            sem(k, 1).at[w & 3])
+
+    def nv_dma(k, w):
+        row0 = jnp.clip(w * _SLOT_ROWS, 0, CAND_ROWS - _SLOT_ROWS)
+        return pltpu.make_async_copy(
+            nv_hbm.at[blocks[k], pl.ds(row0, _SLOT_ROWS)],
+            ring(k, 2).at[pl.ds((w & (_POSRING_SLOTS - 1)) * _SLOT_ROWS,
+                                _SLOT_ROWS)],
+            sem(k, 2).at[w & 3])
+
+    def desc_dma(k, s):
+        row0 = jnp.minimum(s * _SLOT_ROWS, desc_rows - _SLOT_ROWS)
+        return pltpu.make_async_copy(
+            ring(k, 3).at[pl.ds((s & (_DESC_SLOTS - 1)) * _SLOT_ROWS,
+                                _SLOT_ROWS)],
+            desc_hbm.at[blocks[k], pl.ds(row0, _SLOT_ROWS)],
+            sem(k, 3).at[s & 1])
+
+    # prologue: dict history + prefetch lead
+    for k in range(nblk):
+        s0_in = bases[k] >> 12
+        s0_pos = bases[k] >> 10
+        for q in range(17):
+            w = jnp.clip(s0_in - 16 + q, 0, s0_in)
+
+            @pl.when(bases[k] > 0)
+            def _(k=k, w=w):
+                dma = in_dma(k, w)
+                dma.start()
+                dma.wait()
+
+        @pl.when(bases[k] > 0)
+        def _(k=k, s0_pos=s0_pos):
+            dma = cand_dma(k, jnp.maximum(s0_pos - 1, 0))
+            dma.start()
+            dma.wait()
+
+        for d in range(3):
+            in_dma(k, s0_in + d).start()
+            cand_dma(k, s0_pos + d).start()
+            nv_dma(k, s0_pos + d).start()
+        in_dma(k, s0_in).wait()
+        cand_dma(k, s0_pos).wait()
+        nv_dma(k, s0_pos).wait()
+
+    readers = [make_input_reader(ring(k, 0)) for k in range(nblk)]
+
+    def cand_at(k, p):
+        e = p & (_POSRING_SLOTS * _SLOT_BYTES // 4 - 1)
+        return ring(k, 1)[e >> 7, e & (LANES - 1)]
+
+    def nv_at(k, p):
+        e = p & (_POSRING_SLOTS * _SLOT_BYTES // 4 - 1)
+        return ring(k, 2)[e >> 7, e & (LANES - 1)]
+
+    _DESC_RING_WORDS = _DESC_SLOTS * _SLOT_BYTES // 4
+
+    def desc_store(k, wp, v, active):
+        wi = wp & (_DESC_RING_WORDS - 1)
+        row = jnp.where(active, wi >> 7, _DESC_SLOTS * _SLOT_ROWS)
+        ring(k, 3)[row, wi & (LANES - 1)] = v
+
+    def tz8(lo, hi):
+        t = _tzb32(lo)
+        return jnp.where(t < 4, t, 4 + _tzb32(hi))
+
+    def extend8(k, a, c):
+        alo, ahi = readers[k][2](a)
+        blo, bhi = readers[k][2](c)
+        return tz8(alo ^ blo, ahi ^ bhi)
+
+    # --- one common-path step for chain k ------------------------------------
+    def step(S, k):
+        R = S[k * _NREG:(k + 1) * _NREG]
+        i, rs, le, anch, nsym, pos, klen, mode, req, rdy, wp, ct, \
+            win, wca, wnv, dof = R
+        end = ends[k]
+        stalled = req != 0
+
+        do_a = jnp.logical_and(rs < le, jnp.logical_not(stalled))
+        drained = rs >= le
+        do_b1 = jnp.logical_and(
+            drained, jnp.logical_and(mode == _M_SCAN,
+                                     jnp.logical_not(stalled)))
+        do_b2 = jnp.logical_and(
+            drained, jnp.logical_and(mode >= _M_MF,
+                                     jnp.logical_and(mode <= _M_MCH,
+                                                     jnp.logical_not(
+                                                         stalled))))
+
+        # --- A: one literal run --------------------------------------------
+        run = jnp.minimum(16, le - rs)
+        a_desc = jnp.int32(-0x80000000) | ((run - 1) << 25)
+        a_nsym = nsym + 1
+        a_anch = jnp.where((a_nsym & 1) == 0, rs + run, anch)
+        a_rs = rs + run
+
+        # --- B1: scan + probe ------------------------------------------------
+        # a retry after the rare-path usable service consumes the saved
+        # jump target: the rings advanced to cover it, so the nv read at
+        # i+1 may be evicted (its value is unselected then)
+        posrdy0 = (rdy & _RD_POS) != 0
+        nxt = jnp.where(posrdy0, ct,
+                        jnp.minimum(nv_at(k, i + 1), end))
+        gap = nxt - rs
+        pc = (gap - 1) >> 5
+        big = pc > 0                     # drain quanta, stay in SCAN
+        b1_le_big = rs + (pc << 5)
+        at_end = nxt >= end
+        # ring coverage for the landing position; any probe that cannot
+        # complete inline (rings lag, or the head candidate needs the
+        # chain walk) defers WHOLLY to the rare-path usable service —
+        # reads must never touch in-flight (unwaited) slots
+        lag = jnp.logical_or(
+            ((nxt + 80) >> 12) > win,
+            jnp.logical_or(((nxt + 2) >> 10) > wca,
+                           ((nxt + 2) >> 10) > wnv))
+        cw = cand_at(k, nxt)
+        posrdy = (rdy & _RD_POS) != 0
+        head_ok = jnp.logical_and(cw >= 0, cw + 4 <= anch)
+        need_walk = jnp.logical_and(cw >= 0, cw + 4 > anch)
+        p_head = jnp.where(
+            jnp.logical_and(head_ok, anch - cw <= 65534), cw,
+            jnp.int32(_NONE))
+        b1_pos = jnp.where(posrdy, pos, p_head)
+        flush32 = (nxt - rs) == 32
+        hit = b1_pos != _NONE
+        b1_abort = jnp.logical_and(
+            jnp.logical_not(big),
+            jnp.logical_and(
+                jnp.logical_not(at_end),
+                jnp.logical_and(jnp.logical_not(posrdy),
+                                jnp.logical_or(lag, need_walk))))
+        b1_req = jnp.where(
+            b1_abort,
+            req | _RQ_WALK | jnp.where(lag, _RQ_CATCH, 0), req)
+        b1_ct = jnp.where(b1_abort, nxt, ct)
+        b1_commit = jnp.logical_and(jnp.logical_not(big),
+                                    jnp.logical_not(b1_abort))
+        b1_i = jnp.where(b1_commit, nxt, i)
+        b1_le = jnp.where(
+            big, b1_le_big,
+            jnp.where(b1_commit,
+                      jnp.where(at_end, nxt,
+                                jnp.where(hit, nxt,
+                                          jnp.where(flush32, rs + 32,
+                                                    le))),
+                      le))
+        b1_mode = jnp.where(
+            b1_commit,
+            jnp.where(at_end, _M_DONE,
+                      jnp.where(hit, jnp.where(flush32, _M_MFR, _M_MF),
+                                _M_SCAN)),
+            mode)
+        b1_pos_out = jnp.where(b1_commit, b1_pos, pos)
+        b1_rdy = jnp.where(b1_commit, rdy & ~_RD_POS, rdy)
+
+        # --- B2: match -------------------------------------------------------
+        none_pos = pos == _NONE
+        firstm = mode <= _M_MFR
+        fresh = jnp.logical_and(
+            firstm,
+            jnp.logical_or(mode == _M_MFR, anch - pos > 65534))
+        fw = cand_at(k, i)
+        f_head_ok = jnp.logical_and(fw >= 0, fw + 4 <= anch)
+        f_need_walk = jnp.logical_and(
+            jnp.logical_and(fresh, jnp.logical_not(posrdy)),
+            jnp.logical_and(fw >= 0, fw + 4 > anch))
+        f_pos = jnp.where(
+            jnp.logical_and(f_head_ok, anch - fw <= 65534), fw,
+            jnp.int32(_NONE))
+        pos2 = jnp.where(fresh, jnp.where(posrdy, pos, f_pos), pos)
+        none2 = jnp.logical_or(none_pos, pos2 == _NONE)
+        klrdy = (rdy & _RD_KLEN) != 0
+        k8 = extend8(k, i, pos2)
+        need_ext = jnp.logical_and(jnp.logical_not(klrdy),
+                                   jnp.logical_and(k8 >= 8,
+                                                   jnp.logical_not(none2)))
+        k_raw = jnp.where(klrdy, klen, k8)
+        window = anch - pos2
+        kk = jnp.where(k_raw > window, window - 1, k_raw)
+        good = jnp.logical_and(kk >= 4, window <= 65534)
+        code = _len_code(kk)
+        adv = _code_width(code)
+        b2_desc = (code << 25) | window
+        b2_i = i + adv
+        b2_nsym = nsym + 1
+        b2_anch = jnp.where((b2_nsym & 1) == 0, b2_i, anch)
+        # reprobe at the advanced cursor; a lagging or walking reprobe
+        # defers to the rare-path usable service (catch-then-walk order
+        # inside the service makes the combination safe)
+        cont = b2_i + 5 < end
+        cw2 = cand_at(k, b2_i)
+        r_head_ok = jnp.logical_and(cw2 >= 0, cw2 + 4 <= b2_anch)
+        lag2 = jnp.logical_or(
+            ((b2_i + 80) >> 12) > win,
+            jnp.logical_or(((b2_i + 2) >> 10) > wca,
+                           ((b2_i + 2) >> 10) > wnv))
+        r_need_walk = jnp.logical_and(
+            cont,
+            jnp.logical_or(lag2,
+                           jnp.logical_and(cw2 >= 0, cw2 + 4 > b2_anch)))
+        r_pos = jnp.where(
+            jnp.logical_and(
+                cont, jnp.logical_and(r_head_ok,
+                                      b2_anch - cw2 <= 65534)),
+            cw2, jnp.int32(_NONE))
+        b2_abort = jnp.logical_and(
+            jnp.logical_not(none2),
+            jnp.logical_or(f_need_walk, need_ext))
+        b2_emit = jnp.logical_and(jnp.logical_not(none2),
+                                  jnp.logical_and(good,
+                                                  jnp.logical_not(
+                                                      b2_abort)))
+        b2_commit = jnp.logical_not(b2_abort)
+        b2_req = jnp.where(
+            f_need_walk, req | _RQ_WALK,
+            jnp.where(need_ext, req | _RQ_EXT,
+                      jnp.where(
+                          jnp.logical_and(b2_emit, r_need_walk),
+                          req | _RQ_WALK
+                          | jnp.where(lag2, _RQ_CATCH, 0), req)))
+        b2_ct = jnp.where(f_need_walk, i,
+                          jnp.where(jnp.logical_and(b2_emit,
+                                                    r_need_walk),
+                                    b2_i, ct))
+        b2_mode = jnp.where(
+            b2_commit,
+            jnp.where(b2_emit,
+                      jnp.where(jnp.logical_or(r_pos != _NONE,
+                                               r_need_walk),
+                                _M_MCH, _M_SCAN),
+                      _M_SCAN),
+            mode)
+        b2_pos_out = jnp.where(
+            b2_commit,
+            jnp.where(b2_emit,
+                      jnp.where(r_need_walk, jnp.int32(_NONE), r_pos),
+                      pos2),
+            pos)
+        # the scan resumes from the cursor after the match loop (host:
+        # last_i = i); keep rs == le == cursor through chained matches
+        b2_cursor = jnp.where(b2_emit, b2_i, i)
+        b2_rs = jnp.where(b2_commit, b2_cursor, rs)
+        b2_le = jnp.where(b2_commit, b2_cursor, le)
+        b2_rdy = jnp.where(b2_commit, rdy & ~(_RD_POS | _RD_KLEN), rdy)
+
+        # --- merge ------------------------------------------------------------
+        emit_a = do_a
+        emit_b2 = jnp.logical_and(do_b2, jnp.logical_and(b2_emit,
+                                                         b2_commit))
+        d_word = jnp.where(emit_a, a_desc, b2_desc)
+        desc_store(k, wp, d_word, jnp.logical_or(emit_a, emit_b2))
+        wp2 = wp + jnp.where(jnp.logical_or(emit_a, emit_b2), 1, 0)
+        ship_due = (wp2 >> 10) > dof  # slot dof complete (1024 words)
+        ovf = wp2 > (desc_rows - 8) * LANES
+
+        i_n = jnp.where(do_b1, b1_i, jnp.where(do_b2,
+                                               jnp.where(b2_commit,
+                                                         jnp.where(
+                                                             b2_emit,
+                                                             b2_i, i),
+                                                         i), i))
+        rs_n = jnp.where(do_a, a_rs, jnp.where(do_b2, b2_rs, rs))
+        le_n = jnp.where(do_b1, b1_le, jnp.where(do_b2, b2_le, le))
+        anch_n = jnp.where(do_a, a_anch,
+                           jnp.where(jnp.logical_and(do_b2, b2_commit),
+                                     jnp.where(b2_emit, b2_anch, anch),
+                                     anch))
+        nsym_n = jnp.where(do_a, a_nsym,
+                           jnp.where(emit_b2, b2_nsym, nsym))
+        pos_n = jnp.where(do_b1, b1_pos_out,
+                          jnp.where(do_b2, b2_pos_out, pos))
+        mode_n = jnp.where(do_b1, b1_mode, jnp.where(do_b2, b2_mode,
+                                                     mode))
+        mode_n = jnp.where(ovf, _M_DONE, mode_n)
+        req_n = jnp.where(do_b1, b1_req, jnp.where(do_b2, b2_req, req))
+        req_n = jnp.where(ship_due, req_n | _RQ_SHIP, req_n)
+        rdy_n = jnp.where(do_b1, b1_rdy, jnp.where(do_b2, b2_rdy, rdy))
+        ct_n = jnp.where(do_b1, b1_ct, jnp.where(do_b2, b2_ct, ct))
+
+        out = (i_n, rs_n, le_n, anch_n, nsym_n, pos_n, klen, mode_n,
+               req_n, rdy_n, wp2, ct_n, win, wca, wnv, dof)
+        return S[:k * _NREG] + out + S[(k + 1) * _NREG:]
+
+    # --- rare-path services ----------------------------------------------------
+    def service(S, k):
+        R = S[k * _NREG:(k + 1) * _NREG]
+        i, rs, le, anch, nsym, pos, klen, mode, req, rdy, wp, ct, \
+            win, wca, wnv, dof = R
+
+        def caught(st):
+            win_, wca_, wnv_ = st
+
+            def adv_in(w):
+                in_dma(k, w + 1).wait()
+                in_dma(k, w + 3).start()
+                return w + 1
+
+            def adv_ca(w):
+                cand_dma(k, w + 1).wait()
+                cand_dma(k, w + 3).start()
+                return w + 1
+
+            def adv_nv(w):
+                nv_dma(k, w + 1).wait()
+                nv_dma(k, w + 3).start()
+                return w + 1
+
+            wi = jax.lax.while_loop(lambda w: ((ct + 80) >> 12) > w,
+                                    adv_in, win_)
+            wc = jax.lax.while_loop(lambda w: ((ct + 2) >> 10) > w,
+                                    adv_ca, wca_)
+            wn = jax.lax.while_loop(lambda w: ((ct + 2) >> 10) > w,
+                                    adv_nv, wnv_)
+            return wi, wc, wn
+
+        win, wca, wnv = jax.lax.cond(
+            (req & _RQ_CATCH) != 0, caught, lambda st: st,
+            (win, wca, wnv))
+
+        def walked(st):
+            pos_, rdy_ = st
+            p0 = cand_at(k, ct)
+
+            def wcond(p):
+                return jnp.logical_and(p >= 0, p + 4 > anch)
+
+            p = jax.lax.while_loop(wcond, lambda p: cand_at(k, p), p0)
+            bad = jnp.logical_or(p < 0, anch - p > 65534)
+            return (jnp.where(bad, jnp.int32(_NONE), p),
+                    rdy_ | _RD_POS)
+
+        pos, rdy = jax.lax.cond((req & _RQ_WALK) != 0, walked,
+                                lambda st: st, (pos, rdy))
+
+        def extended(st):
+            klen_, rdy_ = st
+
+            def body(m):
+                kacc, mm, nb = m
+                nb2 = tz8(*(lambda a, b: (a[0] ^ b[0], a[1] ^ b[1]))(
+                    readers[k][2](i + 8 * mm), readers[k][2](pos + 8 * mm)))
+                return kacc + nb2, mm + 1, nb2
+
+            if ext:
+                def cond(m):
+                    kacc, mm, nb = m
+                    return jnp.logical_and(nb == 8,
+                                           jnp.logical_and(kacc < 64,
+                                                           mm < 9))
+
+                kk, _, _ = jax.lax.while_loop(cond, body,
+                                              (jnp.int32(8), jnp.int32(1),
+                                               jnp.int32(8)))
+            else:
+                kk, _, _ = body((jnp.int32(8), jnp.int32(1), jnp.int32(8)))
+            return kk, rdy_ | _RD_KLEN
+
+        klen, rdy = jax.lax.cond((req & _RQ_EXT) != 0, extended,
+                                 lambda st: st, (klen, rdy))
+
+        def shipped(st):
+            dof_ = st
+
+            def need(d):
+                return (wp >> 10) > d
+
+            def ship(d):
+                @pl.when(d >= 2)
+                def _():
+                    desc_dma(k, d - 2).wait()
+
+                desc_dma(k, d).start()
+                return d + 1
+
+            return jax.lax.while_loop(need, ship, dof_)
+
+        dof = jax.lax.cond((req & _RQ_SHIP) != 0, shipped, lambda d: d,
+                           dof)
+
+        out = (i, rs, le, anch, nsym, pos, klen, mode, jnp.int32(0),
+               rdy, wp, ct, win, wca, wnv, dof)
+        return S[:k * _NREG] + out + S[(k + 1) * _NREG:]
+
+    # --- main loop ---------------------------------------------------------------
+    def live(S):
+        alive = jnp.int32(0)
+        for k in range(nblk):
+            R = S[k * _NREG:(k + 1) * _NREG]
+            done = jnp.logical_and(R[_MODE] == _M_DONE, R[_RS] >= R[_LE])
+            alive = alive | jnp.where(done, 0, 1)
+        return alive != 0
+
+    def body(S):
+        for k in range(nblk):
+            S = step(S, k)
+        any_req = jnp.int32(0)
+        for k in range(nblk):
+            any_req = any_req | S[k * _NREG + _REQ]
+
+        def serve(S):
+            for k in range(nblk):
+                S = jax.lax.cond(S[k * _NREG + _REQ] != 0,
+                                 lambda s, k=k: service(s, k),
+                                 lambda s: s, S)
+            return S
+
+        return jax.lax.cond(any_req != 0, serve, lambda s: s, S)
+
+    S0 = ()
+    for k in range(nblk):
+        z = jnp.int32(0)
+        mode0 = jnp.where(sizes[k] > 0, _M_SCAN, _M_DONE)
+        S0 = S0 + (bases[k], bases[k], bases[k], bases[k], z,
+                   jnp.int32(_NONE), z, mode0, z, z, z, z,
+                   bases[k] >> 12, bases[k] >> 10, bases[k] >> 10, z)
+
+    S = jax.lax.while_loop(live, body, S0)
+
+    # epilogue: drain rings, ship descriptor tails, report
+    for k in range(nblk):
+        R = S[k * _NREG:(k + 1) * _NREG]
+        in_dma(k, R[_WIN] + 1).wait()
+        in_dma(k, R[_WIN] + 2).wait()
+        cand_dma(k, R[_WCA] + 1).wait()
+        cand_dma(k, R[_WCA] + 2).wait()
+        nv_dma(k, R[_WNV] + 1).wait()
+        nv_dma(k, R[_WNV] + 2).wait()
+
+        dof = R[_DOF]
+
+        @pl.when(dof >= 2)
+        def _(k=k, dof=dof):
+            desc_dma(k, dof - 2).wait()
+
+        @pl.when(dof >= 1)
+        def _(k=k, dof=dof):
+            desc_dma(k, dof - 1).wait()
+
+        last = R[_WP] // (_SLOT_BYTES // 4) + 1
+
+        def drain(st, k=k, last=last):
+            s = st
+            d = desc_dma(k, s)
+            d.start()
+            d.wait()
+            return s + 1
+
+        jax.lax.while_loop(lambda s: s <= last, drain, dof)
+
+        osz_ref[blocks[k], 0] = R[_NSYM]
+        osz_ref[blocks[k], 1] = jnp.where(
+            R[_WP] > (desc_rows - 8) * LANES, 1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ext", "nblk",
+                                             "desc_rows"))
+def flat_decide_batch(input_words, cand_words, nv_words, meta, *,
+                      ext=True, nblk=1, desc_rows=DESC_ROWS,
+                      interpret=False):
+    """Gang decide pass: returns (desc planes (B, desc_rows, 128),
+    stats (B, 8) with rows [n_sym, overflow, 0...])."""
+    B = input_words.shape[0]
+    if B % nblk:
+        raise ValueError("flat_decide_batch needs B % nblk == 0")
+    kernel = functools.partial(_flat_decide_kernel, nblk=nblk, ext=ext,
+                               desc_rows=desc_rows)
+    scratch = []
+    for _ in range(nblk):
+        scratch.append(pltpu.SMEM((_IN_SLOTS * _SLOT_ROWS, LANES),
+                                  jnp.int32))
+        scratch.append(pltpu.SMEM((_POSRING_SLOTS * _SLOT_ROWS, LANES),
+                                  jnp.int32))
+        scratch.append(pltpu.SMEM((_POSRING_SLOTS * _SLOT_ROWS, LANES),
+                                  jnp.int32))
+        scratch.append(pltpu.SMEM((_DESC_SLOTS * _SLOT_ROWS + 1, LANES),
+                                  jnp.int32))
+    for _ in range(nblk):
+        scratch.append(pltpu.SemaphoreType.DMA((4,)))
+        scratch.append(pltpu.SemaphoreType.DMA((4,)))
+        scratch.append(pltpu.SemaphoreType.DMA((4,)))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, desc_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8), jnp.int32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(meta, input_words, cand_words, nv_words)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ext", "nblk",
+                                             "desc_rows", "out_rows"))
+def flat_emit_batch(input_words, cand_words, meta, *, ext=True, nblk=1,
+                    desc_rows=DESC_ROWS, out_rows=OUT_ROWS_BULK,
+                    interpret=False):
+    """Device-resident flat emission: gang decide -> sort layout. Same
+    contract as encode_bulk.emit_bulk_batch (payloads byte-identical to
+    the host level-1 emission); osz[:, 2] flags overflowed blocks."""
+    from .encode_bulk import next_valid
+
+    nv = next_valid(cand_words)
+    desc, stats = flat_decide_batch(input_words, cand_words, nv, meta,
+                                    ext=ext, nblk=nblk,
+                                    desc_rows=desc_rows,
+                                    interpret=interpret)
+    words, osz = layout_batch(desc, stats[:, 0], input_words, meta,
+                              ext=ext, out_rows=out_rows)
+    osz = osz.at[:, 2].set(osz[:, 2] | stats[:, 1])
+    return words, osz
+
+
+def flat_emit_block(block: bytes, cand, *, ext=True, base=0, nblk=1,
+                    interpret=True):
+    """Single-block helper for tests: returns (payload bytes, overflow)."""
+    from .encode_emit import (pack_input_words, pack_cand_words,
+                              payload_from_words)
+
+    iw = pack_input_words(block)[None]
+    cw = pack_cand_words(np.asarray(cand, np.int32))[None]
+    meta = np.zeros((1, 8), np.int32)
+    meta[0, 0] = len(block) - base
+    meta[0, 1] = base
+    rows = max(((len(block) * 2) // ROW_BYTES) + 32, 128)
+    rows += (-rows) % 8
+    orows = (len(block) * 5 // 4 + 8192) // ROW_BYTES + 8
+    orows += (-orows) % 8
+    words, osz = flat_emit_batch(jnp.asarray(iw), jnp.asarray(cw),
+                                 jnp.asarray(meta), ext=ext, nblk=nblk,
+                                 desc_rows=rows, out_rows=orows,
+                                 interpret=interpret)
+    osz = np.asarray(osz)
+    return payload_from_words(words[0], int(osz[0, 0])), int(osz[0, 2])
 
 
 # --- host-side helpers --------------------------------------------------------
