@@ -325,6 +325,7 @@ def bench_tpu_encode(data: bytes, native, emitter: str = "bulk"):
 
     from turbosqueeze_tpu.kernels import encode_bulk as EB
     from turbosqueeze_tpu.kernels import encode_emit as EE
+    from turbosqueeze_tpu.kernels import encode_flat as EFL
     from turbosqueeze_tpu.kernels import encode_xla
 
     blocks = [data[o:o + (1 << 22)]
@@ -353,6 +354,9 @@ def bench_tpu_encode(data: bytes, native, emitter: str = "bulk"):
                     constant_values=-1).reshape(B, EE.CAND_ROWS, 128)
         if emitter == "scan":
             return EE.emit_batch(w, c, meta, ext=True)
+        if emitter.startswith("flat"):  # flat / flat2 / flat4
+            nblk = int(emitter[4:] or 1)
+            return EFL.flat_emit_batch(w, c, meta, ext=True, nblk=nblk)
         return EB.emit_bulk_batch(w, c, meta, ext=True)
 
     def make_args(B):
