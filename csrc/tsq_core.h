@@ -210,6 +210,7 @@ constexpr int kBulkResolveK = 1;
 constexpr uint32_t kBulkMaxLevel = 1u << 20;
 constexpr int64_t kBulkFallback = -100;  // stream too fragmented
 constexpr int64_t kBulkOverflow = -101;  // rec buffer too small: retry
+constexpr int64_t kBulkBadArg = -102;    // invalid arguments: don't retry
 // entry record cap: bounds the kernel's per-entry record-stream
 // consumption so its SMEM prefetch ring lookahead stays fixed
 constexpr uint32_t kBulkMaxEntryRecs = 120;
@@ -217,7 +218,11 @@ constexpr uint32_t kBulkMaxEntryRecs = 120;
 // Gang-stream geometry (csrc/tsq_gang.cpp, kernels/decode_gang.py):
 // fixed 16-word gang slots, rounds of nblk gangs, segments padded so the
 // kernel's round loop can unroll without remainder code.
-constexpr uint32_t kGangMetaWords = 16;
+// [0..7] block sizes, [8..15] n_windows, [16+2w]/[17+2w] cumulative
+// rounds at the end of window w's U/W segment (w < 3), [30] total
+// rounds, [31] nblk — sized so all kGangMaxBlocks fit (a 16-word meta
+// clobbered n_windows with sizes for nblk >= 5).
+constexpr uint32_t kGangMetaWords = 32;
 constexpr uint32_t kGangMaxBlocks = 8;
 constexpr uint32_t kGangAlignRounds = 8;
 

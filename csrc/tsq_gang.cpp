@@ -34,10 +34,10 @@
 //   w1 = as bulk_prep: bit31 FILL | byte, bit29 WSRC | window-relative
 //        source, else U-plane byte address.
 //
-// gmeta (kGangMetaWords): [0..3] block sizes, [4..7] n_windows,
-// [8+2w] cumulative rounds at the end of window w's U segment,
-// [9+2w] cumulative rounds at the end of window w's W segment (w < 3),
-// [14] total rounds, [15] nblk.
+// gmeta (kGangMetaWords = 32): [0..7] block sizes, [8..15] n_windows,
+// [16+2w] cumulative rounds at the end of window w's U segment,
+// [17+2w] cumulative rounds at the end of window w's W segment (w < 3),
+// [30] total rounds, [31] nblk.
 #include <cstring>
 
 #include "tsq_core.h"
@@ -116,16 +116,16 @@ void null_gang(uint32_t* o, uint32_t recs) {
 int64_t bulk_gang(const uint32_t* const* recs, const uint32_t* const* mas,
                   uint32_t nblk, uint32_t slot_recs, uint32_t* out,
                   uint64_t cap, uint32_t* gmeta) {
-  if (nblk == 0 || nblk > kGangMaxBlocks) return kBulkOverflow;
-  if (slot_recs != 8 && slot_recs != 16) return kBulkOverflow;
+  if (nblk == 0 || nblk > kGangMaxBlocks) return kBulkBadArg;
+  if (slot_recs != 8 && slot_recs != 16) return kBulkBadArg;
   for (uint32_t i = 0; i < kGangMetaWords; ++i) gmeta[i] = 0;
   uint32_t n_win = 0;
   for (uint32_t k = 0; k < nblk; ++k) {
     gmeta[k] = mas[k][0];
-    gmeta[4 + k] = mas[k][1];
+    gmeta[8 + k] = mas[k][1];
     if (mas[k][1] > n_win) n_win = mas[k][1];
   }
-  if (n_win > kBulkMetaWords - 5) return kBulkOverflow;  // > 3 windows
+  if (n_win > kBulkMetaWords - 5) return kBulkBadArg;  // > 3 windows
   const uint64_t round_words = (uint64_t)nblk * 2 * slot_recs;
   uint64_t rounds = 0;
   PhaseCur cur[kGangMaxBlocks];
@@ -144,16 +144,16 @@ int64_t bulk_gang(const uint32_t* const* recs, const uint32_t* const* mas,
           if (!cur[k].slot(o, slot_recs)) null_gang(o, slot_recs);
         ++rounds;
       }
-      if (8 + 2 * w + phase < kGangMetaWords - 2)
-        gmeta[8 + 2 * w + phase] = (uint32_t)rounds;
+      if (16 + 2 * w + phase < kGangMetaWords - 2)
+        gmeta[16 + 2 * w + phase] = (uint32_t)rounds;
     }
   }
-  for (uint32_t w = n_win; 9 + 2 * w < kGangMetaWords - 2; ++w) {
-    gmeta[8 + 2 * w] = (uint32_t)rounds;
-    gmeta[9 + 2 * w] = (uint32_t)rounds;
+  for (uint32_t w = n_win; 17 + 2 * w < kGangMetaWords - 2; ++w) {
+    gmeta[16 + 2 * w] = (uint32_t)rounds;
+    gmeta[17 + 2 * w] = (uint32_t)rounds;
   }
-  gmeta[14] = (uint32_t)rounds;
-  gmeta[15] = nblk;
+  gmeta[30] = (uint32_t)rounds;
+  gmeta[31] = nblk;
   return (int64_t)(rounds * round_words);
 }
 

@@ -56,6 +56,20 @@ def test_nway_mixed_corpora(nblk):
     _decode_all(datas, (0, 1, 2, 1, 0), nblk)
 
 
+@pytest.mark.parametrize("nblk", [5, 6, 8])
+def test_wide_gangs_with_padding(nblk):
+    """nblk >= 5 exercises the full 32-word gmeta ABI (sizes [0..7],
+    n_win [8..15]) — a 16-word meta clobbered n_windows with sizes here
+    and silently decoded block 0 to zeros. Block count (5) is not a
+    multiple of nblk, so groups pad with empty blocks."""
+    datas = [synthetic_text(180_000, seed=41),
+             bytes(80_000),
+             synthetic_binary(120_000, seed=43),
+             synthetic_text(60_000, seed=44),
+             np.random.default_rng(7).bytes(90_000)]
+    _decode_all(datas, (0, 1, 2, 1, 0), nblk)
+
+
 @pytest.mark.parametrize("unroll", [1, 4, 8])
 def test_unroll_variants(unroll):
     """Every legal round-loop unroll consumes the same padded stream
@@ -91,10 +105,10 @@ def test_gang_stream_geometry():
     preps = [native.bulk_prep(p, e) for p, e in pe]
     rec, gm = native.bulk_gang([p[1] for p in preps],
                                [p[2] for p in preps])
-    nblk, rounds = int(gm[15]), int(gm[14])
+    nblk, rounds = int(gm[31]), int(gm[30])
     assert nblk == 3
     assert len(rec) == rounds * nblk * 16
-    bounds = [int(gm[8 + i]) for i in range(6)]
+    bounds = [int(gm[16 + i]) for i in range(6)]
     assert bounds == sorted(bounds) and bounds[-1] == rounds
     assert all(b % 8 == 0 for b in bounds)  # kGangAlignRounds
     # identical blocks -> identical per-round slots; row bits present

@@ -127,7 +127,7 @@ def test_bulk_kernels_compiled(tpu, bulk_blocks, impl):
 
 @pytest.mark.parametrize("nblk,unroll,srecs",
                          [(2, 2, 8), (4, 2, 8), (4, 1, 8), (2, 4, 16),
-                          (4, 4, 16)])
+                          (4, 4, 16), (6, 4, 8)])
 def test_gang_kernel_compiled(tpu, bulk_blocks, nblk, unroll, srecs):
     """The round-4 gang-stream kernel compiled via Mosaic, multi-window
     block and both slot geometries included."""

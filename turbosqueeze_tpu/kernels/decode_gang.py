@@ -49,7 +49,8 @@ from .decode_bulk import (MAX_WIN, TAIL_ROWS, WIN_ROWS, pack_lit_words,
 from .decode_tokens import LANES, OUT_ROWS, ROW_BYTES
 
 GANG_WORDS = 16      # words per 8-record slot (2 per record)
-GMETA_WORDS = 16
+GMETA_WORDS = 32     # csrc kGangMetaWords: sizes [0..7], n_win [8..15],
+#                      segment bounds [16+2w]/[17+2w], rounds [30], nblk [31]
 
 _REC_SLOTS = 8  # 8 ring slots x (8,128) words
 
@@ -127,7 +128,7 @@ def _decode_gang_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
     ring_ref, vring_ref = refs[2 * nblk:2 * nblk + 2]
     sem_lit, sem_out, sem_ring, sem_vring = refs[2 * nblk + 2:]
     g = pl.program_id(0)
-    n_wins = [meta_ref[g, 4 + k] for k in range(nblk)]
+    n_wins = [meta_ref[g, 8 + k] for k in range(nblk)]
 
     dlits = [pltpu.make_async_copy(
         lit_hbm.at[nblk * g + k],
@@ -178,8 +179,11 @@ def _decode_gang_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
                 vring_copy(w_ + 3).start()
                 return r_, w_ + 1
 
-            r, waited = jax.lax.cond(hi > waited, advance, lambda st: st,
-                                     (r, waited))
+            # while (not cond): geometries whose per-iteration stream
+            # advance exceeds one 1024-word ring slot need >1 advance per
+            # body or gangs would read un-waited slots
+            r, waited = jax.lax.while_loop(lambda st: hi > st[1], advance,
+                                           (r, waited))
             for u in range(unroll):
                 for k in range(nblk):
                     do_gang(q0 + (u * nblk + k) * gw,
@@ -199,8 +203,8 @@ def _decode_gang_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
                 def _(k=k):
                     _stage_tail(uw[2 * k], uw[2 * k + 1])
 
-        r, waited = segment(r, meta_ref[g, 8 + 2 * w], waited, 0)
-        r, waited = segment(r, meta_ref[g, 9 + 2 * w], waited, 1)
+        r, waited = segment(r, meta_ref[g, 16 + 2 * w], waited, 0)
+        r, waited = segment(r, meta_ref[g, 17 + 2 * w], waited, 1)
 
         for k in range(nblk):
             @pl.when(w + 1 <= n_wins[k])

@@ -444,9 +444,9 @@ def bulk_mergen(recs, metas):
 def bulk_gang(recs, metas, slot_recs: int = 8):
     """Re-shape N (<= 8) blocks' bulk record streams into the
     fixed-geometry gang stream for the round-4 co-scheduled kernel
-    (csrc/tsq_gang.cpp ABI). Returns (gang u32[], gmeta u32[16]):
-    sizes [0..3], n_win [4..7], per-window U/W segment round boundaries
-    [8..13], total rounds [14], nblk [15]."""
+    (csrc/tsq_gang.cpp ABI). Returns (gang u32[], gmeta u32[32]):
+    sizes [0..7], n_win [8..15], per-window U/W segment round boundaries
+    [16..21], total rounds [30], nblk [31]."""
     import numpy as np
 
     lib = _load()
@@ -467,11 +467,15 @@ def bulk_gang(recs, metas, slot_recs: int = 8):
         # this box's pathological first-touch fault cost ~40x (see
         # _advise_hugepages)
         _advise_hugepages(out.ctypes.data, out.nbytes)
-        gmeta = np.zeros(16, dtype=np.uint32)
+        gmeta = np.zeros(32, dtype=np.uint32)
         n = lib.tsq_bulk_gang(rp, mp, nblk, slot_recs, out.ctypes.data,
                               cap, gmeta.ctypes.data)
         if n >= 0:
             return out[:int(n)], gmeta
+        if n == -102:  # kBulkBadArg: invalid nblk/slot_recs/n_windows
+            raise ValueError(
+                f"bulk_gang invalid arguments (nblk={nblk}, "
+                f"slot_recs={slot_recs}, code {n})")
         if n != -101:  # not an overflow: don't retry
             break
         cap *= 2
