@@ -369,12 +369,15 @@ def bench_tpu_encode(data: bytes, native, emitter: str = "bulk"):
         return ([jax.device_put(u8), jax.device_put(meta)],
                 sum(len(blocks[b % n_src]) for b in range(B)))
 
+    nblk = int(emitter[4:] or 1) if emitter.startswith("flat") else 1
+
     def timed(B, reps=6):
+        B = max(nblk, (B // nblk) * nblk)
         args, sz = make_args(B)
         words, osz = full(*args)
         words, osz = np.asarray(words), np.asarray(osz)
         for b in range(B):  # verify EVERY timed block, repeats included
-            if emitter == "bulk":
+            if emitter != "scan":
                 assert int(osz[b, 2]) == 0, f"emit overflow on block {b}"
             got = EE.payload_from_words(words[b], int(osz[b, 0]))
             assert got == wants[b % n_src], \
@@ -388,7 +391,8 @@ def bench_tpu_encode(data: bytes, native, emitter: str = "bulk"):
         return best, sz
 
     t0 = time.time()
-    batches = [1, 4, min(8, max(5, n_src))]
+    batches = ([1, 4, min(8, max(5, n_src))] if nblk == 1
+               else [nblk, 2 * nblk, 4 * nblk])
     points = [(sz, t) for B in batches for t, sz in [timed(B)]]
     log(f"tpu[encode]: B={batches} compile+verify+time "
         f"{time.time() - t0:.0f}s")

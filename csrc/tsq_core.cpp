@@ -123,11 +123,19 @@ struct TokenSink {
   }
 
   // Pad the final control byte with literal bits; a half-filled size byte
-  // pads its low nibble with zero.
+  // pads its low nibble with zero. The upstream tail loop
+  // (tsq_encode.cpp:330-339) shifts the MOST RECENT size slot left one
+  // nibble at its first odd-n_sym iteration even when that slot is a
+  // freshly reserved EMPTY one (n_sym even): the slot's reserve-time
+  // residue (a literal over-copy deposit, or 0 above the high-water
+  // mark) survives shifted. Only n_sym % 8 == 0 streams skip the loop
+  // and leave dead slots exactly as reserve() left them.
   inline uint32_t finish() {
-    if ((n_sym & 7) != 0) {  // group-boundary streams leave dead reserved
-      if ((n_sym & 1) != 0)  // slots exactly as reserve() left them
+    if ((n_sym & 7) != 0) {
+      if ((n_sym & 1) != 0)
         out[size_at] = (uint8_t)(size_acc << 4);
+      else
+        out[size_at] = (uint8_t)(out[size_at] << 4);
       while ((n_sym & 7) != 0) {
         ctrl_acc = (ctrl_acc << 1) | 1;
         ++n_sym;

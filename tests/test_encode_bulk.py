@@ -59,6 +59,16 @@ def test_bulk_random_identity(native):
     assert got == want
 
 
+def test_bulk_dead_size_slot_shift(native):
+    """Trailing EMPTY size slot gets residue << 4 when the tail loop runs
+    (the r5 TokenSink regression) — two-pass kernel vs host bytes."""
+    from tests.test_encode_emit import _dead_size_slot_case
+
+    for k, blk in enumerate(list(_dead_size_slot_case())[:6]):
+        got, want = run_bulk(native, blk, True)
+        assert got == want, f"trigger block {k}"
+
+
 @pytest.mark.parametrize("n", [1, 3, 5, 17, 33, 64, 513, 1025])
 def test_bulk_tiny_blocks(native, n):
     blk = (synthetic_text(2_000, seed=40))[:n]

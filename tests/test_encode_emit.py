@@ -139,6 +139,50 @@ def test_offset_window_edge_regression(native):
         assert gots[0] == wants[0], f"device emit diverges q={q}"
 
 
+def _dead_size_slot_case():
+    """Deterministic block whose level-0 parse ends on a match with n_sym
+    even and n_sym % 8 != 0, so the trailing EMPTY size slot gets the
+    upstream tail loop's residue << 4 (tsq_encode.cpp:330-339) — the r5
+    regression: every TokenSink mirror used to leave the raw residue.
+    Self-validating: asserts the parse shape it exists to exercise."""
+    rng = np.random.default_rng(1)
+    for _ in range(40):
+        n = int(rng.integers(40, 400))
+        words = [rng.integers(33, 127, int(rng.integers(3, 9)),
+                              dtype=np.uint8).tobytes() for _ in range(4)]
+        parts = []
+        while sum(map(len, parts)) < n:
+            parts.append(words[int(rng.integers(0, 4))])
+        blk = b"".join(parts)[:n]
+        yield blk
+
+
+def test_trailing_dead_size_slot_shift(native):
+    from turbosqueeze_tpu import reference_codec as RC
+    from turbosqueeze_tpu.format import iter_container
+
+    hit = 0
+    for blk in _dead_size_slot_case():
+        want = RC.encode_block(blk, True)
+        s0 = native.compress(blk, True, level=0)
+        got = [p for _, p, _ in iter_container(s0)][0]
+        assert got == want, "level-0 tail byte diverges from the oracle"
+        dst, _src, _lns, lit, _size = native.tokenize_block(got, True)
+        ns = len(dst)
+        if ns % 2 == 0 and ns % 8 != 0 and not lit[-1] and got[-1]:
+            hit += 1  # nonzero shifted residue actually exercised
+    assert hit >= 3, f"trigger corpus lost its coverage (hits={hit})"
+
+
+def test_emit_dead_size_slot_shift(native):
+    """The single-pass emit kernel reproduces the shifted trailing empty
+    size slot (interpret mode, same blocks as the host regression)."""
+    blks = [blk for blk in _dead_size_slot_case()][:6]
+    gots, wants = run_emit(native, blks, True)
+    for k, (g, w) in enumerate(zip(gots, wants)):
+        assert g == w, f"device emit diverges on trigger block {k}"
+
+
 def test_emit_table_mode_level0_identity(native):
     """matcher='table': the upstream's exact 16-bit hash-table parse runs
     entirely in the kernel (no phase-A candidates) and reproduces the

@@ -93,6 +93,16 @@ def test_flat_offset_window_edge(native):
         assert got == want
 
 
+def test_flat_dead_size_slot_shift(native):
+    """Trailing EMPTY size slot gets residue << 4 when the tail loop runs
+    (the r5 TokenSink regression) — layout_batch vs host bytes."""
+    from tests.test_encode_emit import _dead_size_slot_case
+
+    for k, blk in enumerate(list(_dead_size_slot_case())[:6]):
+        got, want = run_flat(native, blk, True)
+        assert got == want, f"trigger block {k}"
+
+
 def test_flat_mixed_fills(native):
     blk = (synthetic_text(9_000, seed=51) + bytes(600)
            + synthetic_text(5_000, seed=52))

@@ -9,12 +9,13 @@ Contract per file class and level:
   level 2 -> <= level 1 (lazy parse only ever defers for a longer match).
 """
 
+import hashlib
 import subprocess
 from pathlib import Path
 
 import pytest
 
-from turbosqueeze_tpu.utils.corpus import ratio_sweep_files
+from turbosqueeze_tpu.utils.corpus import ratio_sweep_files, real_files
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -37,6 +38,23 @@ def harness(golden_harness):
 
 def corpus_files():
     return ratio_sweep_files()
+
+
+def test_real_corpus_provenance():
+    """The bundled real-data classes decompress to the exact bytes the
+    NOTICE.md documents (tests/data/real) — ratio evidence is only as
+    good as the corpus's integrity."""
+    want = {
+        "real-licenses": ("ebfaf0e33f92e6df", 303_417),
+        "real-pydoc": ("78c41895369593e2", 517_537),
+        "real-source": ("14a1a8f2e71ccf09", 4_626_393),
+        "real-binary": ("758eaea181397672", 3_732_501),
+    }
+    files = real_files()
+    assert set(files) == set(want), "real corpus bundle incomplete"
+    for name, data in files.items():
+        digest = hashlib.sha256(data).hexdigest()[:16]
+        assert (digest, len(data)) == want[name], f"{name} corrupted"
 
 
 def ref_size(harness, tmp_path, name, data, ext):

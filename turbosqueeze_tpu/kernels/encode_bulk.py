@@ -532,17 +532,25 @@ def _decide_kernel(meta_ref, in_hbm, cand_hbm, nv_hbm, side_hbm, rec_hbm,
                              (S + (live0,), base, base))
     S = fin[0][:OVF + 1]
 
-    # finish(): csrc tsq_core.cpp:126-138 — pad the final ctrl byte with
-    # literal bits, pad a half-filled size byte's low nibble with zero;
-    # group-boundary streams leave the dead reserved slots exactly as
-    # reserve() left them (materialized into the side plane at reserve).
+    # finish(): csrc TokenSink::finish — pad the final ctrl byte with
+    # literal bits, pad a half-filled size byte's low nibble with zero.
+    # At even n_sym the upstream tail loop still shifts the freshly
+    # reserved EMPTY size slot one nibble left (its materialized dead
+    # value << 4, tsq_encode.cpp:330-339); only n_sym % 8 == 0 streams
+    # leave dead slots exactly as reserve() left them.
     n_sym = S[NSYM]
+
+    def side_read(sp):
+        sp = jnp.int32(sp)
+        wi = (sp >> 2) & (_SIDE_WORDS - 1)
+        sh = (sp & 3) * 8
+        return _lsr(sside[wi >> 7, wi & (LANES - 1)], sh) & 0xFF
 
     @pl.when((n_sym & 7) != 0)
     def _():
-        @pl.when((n_sym & 1) != 0)
-        def _():
-            side_byte(S[SSAT], (S[SACC] << 4) & 0xFF)
+        half = (n_sym & 1) != 0
+        side_byte(S[SSAT], jnp.where(half, (S[SACC] << 4) & 0xFF,
+                                     (side_read(S[SSAT]) << 4) & 0xFF))
 
         pad = 8 - (n_sym & 7)
         side_byte(S[CSAT], ((S[CACC] << pad) | ((1 << pad) - 1)) & 0xFF)

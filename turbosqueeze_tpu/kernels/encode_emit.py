@@ -611,15 +611,24 @@ def _emit_kernel(meta_ref, in_hbm, cand_hbm, out_hbm, osz_ref,
     wi_in, wi_cand = fin[14], fin[15]
 
     # finish(): pad the final control byte with literal bits; a half-filled
-    # size byte pads its low nibble with zero (host TokenSink::finish)
+    # size byte pads its low nibble with zero (host TokenSink::finish).
+    # At even n_sym the upstream tail loop still shifts the freshly
+    # reserved EMPTY size slot one nibble left (residue << 4,
+    # tsq_encode.cpp:330-339) — only n_sym % 8 == 0 skips the loop.
     (j, ctrl_at, size_at, n_sym, anchor, ctrl_acc, size_acc, hwm,
      ofs, opar) = sink
 
+    def out_read(p):
+        p = jnp.int32(p)
+        wi = (p >> 2) & (_OUT_WORDS - 1)
+        sh = (p & 3) * 8
+        return _lsr(sout[wi >> 7, wi & (LANES - 1)], sh) & 0xFF
+
     @pl.when((n_sym & 7) != 0)
     def _():
-        @pl.when((n_sym & 1) != 0)
-        def _():
-            out_byte(size_at, (size_acc << 4) & 0xFF)
+        half = (n_sym & 1) != 0
+        out_byte(size_at, jnp.where(half, (size_acc << 4) & 0xFF,
+                                    (out_read(size_at) << 4) & 0xFF))
 
         pad = 8 - (n_sym & 7)
         out_byte(ctrl_at, ((ctrl_acc << pad) | ((1 << pad) - 1)) & 0xFF)

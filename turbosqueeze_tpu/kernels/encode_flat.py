@@ -29,11 +29,13 @@ descriptor sequence:
 when a group completes, tsq_core.cpp:83-86; the +[(2s)%8==0] orders the
 ctrl reserve before the size reserve at shared boundaries.) Slot VALUES
 are the shift-or accumulations with the finish() padding rules
-(tsq_core.cpp:126-138): a partial final ctrl byte pads with 1-bits, a
+(csrc TokenSink::finish): a partial final ctrl byte pads with 1-bits, a
 half-filled size byte pads its low nibble with 0, and a reserved slot
 that no group ever filled keeps the byte the last literal's 16-byte
 over-copy deposited (or 0 above the high-water mark) — at most the two
-trailing slots, reproduced here from the last literal symbol.
+trailing slots, reproduced here from the last literal symbol; when the
+tail loop runs (nsym % 8 != 0) the trailing empty SIZE slot's residue
+additionally shifts one nibble left (tsq_encode.cpp:330-339).
 
 Scatter and gather run ~0.14 Gelem/s on this ISA (encode_xla.py memo),
 so the byte assembly is built from the fast primitives only — SORTS,
@@ -208,8 +210,12 @@ def layout_batch(desc, nsym, input_words, meta, *, ext=True,
     val_c = jnp.where(dead_c, dead_val(jnp.where(dead_c, pos_c, 0)
                                        .max(axis=1))[:, None], val_c)
     dead_z = jnp.logical_and(cnt_z == 0, s <= nsym[:, None] // 2)
-    val_z = jnp.where(dead_z, dead_val(jnp.where(dead_z, pos_z, 0)
-                                       .max(axis=1))[:, None], val_z)
+    # the upstream tail loop shifts the trailing EMPTY size slot one
+    # nibble left whenever it runs (nsym % 8 != 0): residue << 4
+    zsh = jnp.where((nsym % 8) != 0, 4, 0)
+    dzv = (dead_val(jnp.where(dead_z, pos_z, 0).max(axis=1))
+           << zsh) & 0xFF
+    val_z = jnp.where(dead_z, dzv[:, None], val_z)
 
     # --- header ---------------------------------------------------------------
     hk = jnp.broadcast_to(jnp.arange(3, dtype=jnp.int32)[None, :], (B, 3))

@@ -85,11 +85,32 @@ def standard_cases() -> List[bytes]:
     ]
 
 
-def ratio_sweep_files() -> dict:
+def real_files() -> dict:
+    """Real (non-synthetic) corpus classes bundled in-repo, decompressed
+    from tests/data/real/*.xz — provenance and licenses in the NOTICE.md
+    beside them. English legal text, English reference documentation,
+    Python source code, and Python bytecode: ~9 MiB of genuine data for
+    ratio/parity evidence (the upstream's own headline corpus, enwik9,
+    is unfetchable in this egress-free environment)."""
+    import lzma
+    from pathlib import Path
+
+    d = Path(__file__).resolve().parents[2] / "tests" / "data" / "real"
+    out = {}
+    for name in ("licenses.txt", "pydoc.txt", "source.txt", "binary.bin"):
+        f = d / (name + ".xz")
+        if f.exists():
+            out["real-" + name.split(".")[0]] = lzma.decompress(
+                f.read_bytes())
+    return out
+
+
+def ratio_sweep_files(include_real: bool = True) -> dict:
     """The mixed-corpus file classes for the ratio parity sweep (BASELINE
     config 3 stand-in) — shared by bench.py and tests/test_ratio_sweep.py
-    so the two cannot drift apart."""
-    return {
+    so the two cannot drift apart. Synthetic classes plus the bundled
+    real-data classes (real_files)."""
+    files = {
         "text": synthetic_text(1 << 20, seed=301),
         "binary-records": synthetic_binary(1 << 20, seed=302),
         "zeros": bytes(1 << 20),
@@ -99,6 +120,9 @@ def ratio_sweep_files() -> dict:
                   + synthetic_binary(300_000, seed=306)
                   + bytes(200_000)),
     }
+    if include_real:
+        files.update(real_files())
+    return files
 
 
 def checksum(data: bytes) -> int:
