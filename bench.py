@@ -144,6 +144,46 @@ def slope_fit(points):
     return float(slope), rel
 
 
+_CALIB_ITERS = 4_000_000
+
+
+def calib_primitive(reps: int = 10):
+    """Fixed-cost scalar-unit microbench (session calibration).
+
+    A dependent add chain of _CALIB_ITERS iterations in a Pallas kernel:
+    pure scalar-core latency, no DMA, no VPU — its wall time moves only
+    with the effective scalar clock (throttling, contention), never with
+    Mosaic scheduling of the kernels under test. Run before and after the
+    kernel sweep; >15% drift flags the session (the 2-3x session-to-
+    session kernel variance of rounds 3-4 cannot be interpreted without
+    knowing whether the clock itself moved). Returns min-of-reps seconds.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(o_ref):
+        def body(_, a):
+            return a + (a & 7) + 1  # dependent: one chain, no const-fold
+
+        o_ref[0] = jax.lax.fori_loop(0, _CALIB_ITERS, body, jnp.int32(1))
+        for k in range(1, 8):
+            o_ref[k] = 0
+
+    f = jax.jit(lambda: pl.pallas_call(
+        kern,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((8,), jnp.int32))())
+    np.asarray(f())  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_tpu_kernel(data: bytes, native, kernel: str = "stream",
                      level: int = 0):
     """On-chip decode throughput (MB/s/chip) by the batch-slope method.
@@ -536,11 +576,20 @@ def main():
     e2e_mbps = None
     tpu_enc = None
     l2 = None
+    calib0 = calib_end = None
+    enc_variants = {}
     if os.environ.get("TSQ_BENCH_TPU", "1") != "0" and tpu_reachable():
         try:
             import jax
 
             if jax.devices()[0].platform == "tpu":
+                try:
+                    calib0 = calib_primitive()
+                    log(f"tpu: calib primitive {calib0 * 1e3:.2f} ms "
+                        f"({_CALIB_ITERS / calib0 / 1e6:.0f} Miter/s "
+                        "scalar chain)")
+                except Exception as e:
+                    log(f"tpu calibration failed: {e}")
                 for kernel in ("gang6.4", "gang4.4.16", "gang2.4.16",
                                "bulk2", "stream"):
                     try:
@@ -565,8 +614,14 @@ def main():
                 except Exception as e:
                     l2 = None
                     log(f"tpu level-2 stream bench failed: {e}")
-                enc_variants = {}
-                for emitter in ("scan", "bulk"):
+                # 'flat' (the round-4 descriptor+sort-layout chain) is
+                # wired into the pipeline (emit_impl='flat') and measured
+                # here for the record; measured round 5: its decide pass
+                # does NOT scale with nblk interleaving (0.24 s/block at
+                # nblk=1 AND nblk=4) and the XLA sort layout costs 0.55
+                # s/block, so the chain lands ~5 MB/s — slower than both
+                # older emitters. See BASELINE.md "device encode memo".
+                for emitter in ("scan", "bulk", "flat"):
                     try:
                         m, r = bench_tpu_encode(data, native, emitter)
                         enc_variants[emitter] = (m, r)
@@ -602,6 +657,17 @@ def main():
                         f"{e2e_mbps:.1f} MB/s wall (tunnel/host-bound box)")
                 except Exception as e:
                     log(f"tpu e2e bench failed: {e}")
+                try:
+                    if calib0 is not None:
+                        calib_end = calib_primitive()
+                        drift = abs(calib_end - calib0) / calib0
+                        log(f"tpu: calib end {calib_end * 1e3:.2f} ms, "
+                            f"session drift {100 * drift:.1f}%"
+                            + (" — FLAGGED (>15%: kernel numbers above "
+                               "span a clock shift)" if drift > 0.15
+                               else ""))
+                except Exception as e:
+                    log(f"tpu end calibration failed: {e}")
             else:
                 log(f"tpu: no TPU backend ({jax.devices()[0].platform}); "
                     "headline falls back to host MT path")
@@ -618,10 +684,26 @@ def main():
             extras["e2e_decompress_mbps_tunnelbound"] = round(e2e_mbps, 1)
         if tpu_enc is not None:
             extras["device_compress_mbps"] = round(tpu_enc, 1)
+            for k, (m, _r) in enc_variants.items():
+                extras[f"device_compress_{k}_mbps"] = round(m, 1)
         if l2 is not None:
             extras["kernel_gang_level2_streams_mbps"] = round(l2, 1)
         extras["host_mt_decode_mbps"] = round(dec_mbps, 1)
         extras["host_mt_encode_mbps"] = round(enc_mbps, 1)
+        if calib0 is not None:
+            # session calibration: a fixed scalar dependent-add chain
+            # (calib_primitive). One "unit" = one chain iteration (a few
+            # scalar-core cycles); units/byte is clock-invariant, so a
+            # kernel regression shows there even when the session clock
+            # moved. drift > 0.15 means MB/s numbers span a clock shift.
+            extras["calib_start_ms"] = round(calib0 * 1e3, 3)
+            units_per_s = _CALIB_ITERS / calib0
+            extras["headline_calibunits_per_byte"] = round(
+                units_per_s / (tpu[best] * 1e6), 3)
+            if calib_end is not None:
+                extras["calib_end_ms"] = round(calib_end * 1e3, 3)
+                extras["calib_drift"] = round(
+                    abs(calib_end - calib0) / calib0, 3)
         print(json.dumps({
             "metric": f"on-chip .tsq decode, best kernel [{best}] "
                       "(enwik9-class synthetic, MB/s per TPU chip)",

@@ -37,6 +37,7 @@ def _roundtrip(data, level=0, ext=True):
 
 
 @pytest.mark.parametrize("level", [0, 1, 2])
+@pytest.mark.slow
 def test_corpus_classes(level):
     for data in (synthetic_text(96 * 1024, seed=3),
                  synthetic_binary(96 * 1024, seed=4),
@@ -108,6 +109,7 @@ def test_corrupt_stream_rejected():
     assert int(meta[3]) == len(rec)
 
 
+@pytest.mark.slow
 def test_fuzz_roundtrip():
     rng = np.random.default_rng(1234)
     for trial in range(6):
@@ -142,6 +144,7 @@ def test_two_block_coschedule():
 
 
 @pytest.mark.parametrize("nblk", [3, 4])
+@pytest.mark.slow
 def test_nway_coschedule(nblk):
     """The general N-way kernel (round-robin merged streams, one scratch
     pair per block) must agree bit-exactly across mixed levels and the
@@ -173,6 +176,7 @@ def test_coschedule_fit_budget():
     assert DB.best_coschedule(10**9) == 1
 
 
+@pytest.mark.slow
 def test_pipeline_impl_bulk_multiblock():
     from turbosqueeze_tpu.runtime import native
 
@@ -199,6 +203,7 @@ def test_bulk_dictionary_decode():
 
 
 @pytest.mark.parametrize("impl", ["bulk", "bulk2", "bulkn"])
+@pytest.mark.slow
 def test_pipeline_impl_bulk_dictionary(impl):
     from turbosqueeze_tpu.runtime import native
 
@@ -208,6 +213,7 @@ def test_pipeline_impl_bulk_dictionary(impl):
     assert pipeline.decompress(stream, impl=impl, dictionary=d) == data
 
 
+@pytest.mark.slow
 def test_decompress_to_file_bulk(tmp_path):
     """Per-host file writes through the bulk kernels (CLI file path)."""
     from turbosqueeze_tpu.runtime import native
@@ -221,6 +227,7 @@ def test_decompress_to_file_bulk(tmp_path):
         assert out.read_bytes() == data
 
 
+@pytest.mark.slow
 def test_pipeline_impl_bulk2_multiblock():
     """Co-scheduled pair kernel through the public pipeline: odd block
     count (pair padding) and a ragged tail block."""
@@ -231,6 +238,7 @@ def test_pipeline_impl_bulk2_multiblock():
     assert pipeline.decompress(stream, impl="bulk2") == data
 
 
+@pytest.mark.slow
 def test_pipeline_impl_bulkn_multiblock():
     """Auto N-way co-schedule through the public pipeline: group padding
     (3 real blocks in groups of N) and a ragged tail block."""

@@ -45,6 +45,7 @@ def _decode_all(datas, levels, nblk, unroll=2, slot_recs=8):
 
 
 @pytest.mark.parametrize("nblk", [1, 2, 3, 4])
+@pytest.mark.slow
 def test_nway_mixed_corpora(nblk):
     """Mixed levels and corpus classes, count not a multiple of nblk
     (empty-block padding), zeros block (FILL gangs)."""
@@ -57,6 +58,7 @@ def test_nway_mixed_corpora(nblk):
 
 
 @pytest.mark.parametrize("nblk", [5, 6, 8])
+@pytest.mark.slow
 def test_wide_gangs_with_padding(nblk):
     """nblk >= 5 exercises the full 32-word gmeta ABI (sizes [0..7],
     n_win [8..15]) — a 16-word meta clobbered n_windows with sizes here
@@ -71,6 +73,7 @@ def test_wide_gangs_with_padding(nblk):
 
 
 @pytest.mark.parametrize("unroll", [1, 4, 8])
+@pytest.mark.slow
 def test_unroll_variants(unroll):
     """Every legal round-loop unroll consumes the same padded stream
     (segments are padded to kGangAlignRounds = 8 rounds)."""
@@ -121,6 +124,7 @@ def test_gang_stream_geometry():
 
 
 @pytest.mark.parametrize("impl", ["gang"])
+@pytest.mark.slow
 def test_pipeline_impl_gang_dictionary(impl):
     from turbosqueeze_tpu.runtime.api import compress
 
@@ -130,6 +134,7 @@ def test_pipeline_impl_gang_dictionary(impl):
     assert pipeline.decompress(stream, impl=impl, dictionary=d) == data
 
 
+@pytest.mark.slow
 def test_pipeline_impl_gang_multiblock(tmp_path):
     """Gang through the public pipeline: group padding, ragged tail
     block, memory and file paths."""

@@ -62,6 +62,7 @@ def test_decodes_upstream_stream(golden_harness, tmp_path):
     assert _decode_stream(payload, ext, len(data)) == data
 
 
+@pytest.mark.slow
 def test_pipeline_stream_impl_multiblock():
     from turbosqueeze_tpu.parallel import pipeline
     from turbosqueeze_tpu.runtime import native
@@ -110,6 +111,7 @@ def test_stream_impl_corrupt_stream_safe():
         pass  # declared-length mismatch is also acceptable
 
 
+@pytest.mark.slow
 def test_decompress_to_words_stream_impl():
     """Device-resident words via the fused parser stay sharded."""
     from turbosqueeze_tpu.parallel import mesh as mesh_mod

@@ -49,6 +49,7 @@ def test_sharded_decompress_multiblock():
     assert out == data
 
 
+@pytest.mark.slow
 def test_pipeline_per_block_progress():
     """Progress fires once per completed BLOCK, not per device window —
     the upstream writer thread's cadence (tsq_threads.cpp:248-254)."""
@@ -80,6 +81,7 @@ def test_sharded_decompress_reference_stream(golden_harness, tmp_path):
     assert pipeline.decompress(ftsq.read_bytes()) == data
 
 
+@pytest.mark.slow
 def test_device_compress_roundtrip():
     data = synthetic_text(2 * (1 << 22) + 999, seed=29)
     stream = pipeline.compress(data, ext=True)
@@ -91,6 +93,7 @@ def test_device_compress_roundtrip():
     assert pipeline.decompress(stream) == data
 
 
+@pytest.mark.slow
 def test_device_compress_ratio_beats_reference_parse():
     """The device candidate parse (level>=1) must compress at least as well
     as the reference's lossy hash-table parse on the bench corpora."""
@@ -122,6 +125,7 @@ def test_device_matches_host_candidates():
     assert np.array_equal(host, dev)
 
 
+@pytest.mark.slow
 def test_tpu_backend_via_api():
     from turbosqueeze_tpu.runtime.api import compress, decompress
 
@@ -132,7 +136,8 @@ def test_tpu_backend_via_api():
     assert decompress(stream, backend="native") == data
 
 
-@pytest.mark.parametrize("emit_impl", ["bulk", "scan"])
+@pytest.mark.parametrize("emit_impl", ["bulk", "scan", "flat"])
+@pytest.mark.slow
 def test_pipeline_device_emission_forced(monkeypatch, emit_impl):
     """Full pipeline.compress with on-chip emission (normally TPU-gated)
     forced onto the CPU mesh in interpret mode: the container must be
@@ -147,6 +152,7 @@ def test_pipeline_device_emission_forced(monkeypatch, emit_impl):
     assert pipeline.decompress(stream) == data
 
 
+@pytest.mark.slow
 def test_pipeline_device_emission_forced_dict(monkeypatch):
     from turbosqueeze_tpu.runtime import native
 
@@ -172,6 +178,7 @@ def test_decompress_to_words_stays_sharded():
     assert len(shard_devs) == 8
 
 
+@pytest.mark.slow
 def test_decompress_to_file_per_host_writes(tmp_path):
     """decompress_to_file writes blocks at their fixed offsets from each
     process's addressable shards (single-process degenerate case here;

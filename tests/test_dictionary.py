@@ -96,6 +96,7 @@ def test_api_and_cli_dict(native, dictionary, tmp_path):
     assert out.read_bytes() == data
 
 
+@pytest.mark.slow
 def test_device_dict_compress(native, dictionary):
     """TPU backend: dictionary broadcast across the mesh + device candidate
     search over concat(dict, block)."""
@@ -157,6 +158,7 @@ def test_device_dict_decode_stream_widens_output(native, dictionary,
         pipeline._sharded_decode_stream.cache_clear()
 
 
+@pytest.mark.slow
 def test_dict_level2_lazy_parse(native, dictionary):
     """level >= 2 selects the lazy best-of-chain parse in dictionary mode
     too (ADVICE r1: level used to silently stay greedy with a dict)."""

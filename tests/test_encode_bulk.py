@@ -42,6 +42,7 @@ def run_bulk(native, blk, ext):
 
 
 @pytest.mark.parametrize("ext", [True, False])
+@pytest.mark.slow
 def test_bulk_text_identity(native, ext):
     got, want = run_bulk(native, synthetic_text(40_000, seed=31), ext)
     assert got == want

@@ -183,6 +183,7 @@ def test_emit_dead_size_slot_shift(native):
         assert g == w, f"device emit diverges on trigger block {k}"
 
 
+@pytest.mark.slow
 def test_emit_table_mode_level0_identity(native):
     """matcher='table': the upstream's exact 16-bit hash-table parse runs
     entirely in the kernel (no phase-A candidates) and reproduces the

@@ -66,6 +66,7 @@ def test_layout_tiny_blocks(native, n):
     assert got == want
 
 
+@pytest.mark.slow
 def test_layout_dead_slot_sizes(native):
     """Sweep sizes around group boundaries so n_sym % 8 and % 2 hit every
     trailing-slot shape (dead ctrl, dead size, padded partial groups)."""

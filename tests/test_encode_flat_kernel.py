@@ -41,6 +41,7 @@ def run_flat(native, blk, ext, nblk=1):
 
 
 @pytest.mark.parametrize("ext", [True, False])
+@pytest.mark.slow
 def test_flat_text_identity(native, ext):
     got, want = run_flat(native, synthetic_text(40_000, seed=31), ext)
     assert got == want
@@ -83,6 +84,7 @@ def test_flat_dense_alternation(native):
     assert got == want
 
 
+@pytest.mark.slow
 def test_flat_offset_window_edge(native):
     """Candidate at the 16-bit window edge + anchor-advancing trailing
     flush (the rewalk/revalidate paths, upstream tsq_encode.cpp:298)."""
@@ -93,6 +95,7 @@ def test_flat_offset_window_edge(native):
         assert got == want
 
 
+@pytest.mark.slow
 def test_flat_dead_size_slot_shift(native):
     """Trailing EMPTY size slot gets residue << 4 when the tail loop runs
     (the r5 TokenSink regression) — layout_batch vs host bytes."""
@@ -122,6 +125,7 @@ def test_flat_dictionary_identity(native):
     assert got == want
 
 
+@pytest.mark.slow
 def test_flat_fuzz_structured(native):
     """Randomized structured blocks: repeated phrases, fills, binary
     records, random tails — every decide path in one sweep."""
@@ -149,6 +153,7 @@ def test_flat_fuzz_structured(native):
         assert got == want, f"trial {trial}"
 
 
+@pytest.mark.slow
 def test_flat_gang2_identity(native):
     """Two co-scheduled chains in one program produce the same bytes as
     two independent single-chain runs."""

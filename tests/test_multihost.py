@@ -23,6 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_sharded_decompress(tmp_path):
     from turbosqueeze_tpu.runtime import native
     from turbosqueeze_tpu.utils.corpus import synthetic_text

@@ -166,6 +166,69 @@ def _sharded_emit_bulk_dict(mesh: Mesh, ext: bool):
 
 
 @functools.lru_cache(maxsize=8)
+def _sharded_emit_flat(mesh: Mesh, ext: bool, nblk: int):
+    """Flat device emission (kernels/encode_flat): the gang decide kernel
+    (nblk interleaved decision chains, one descriptor word per symbol)
+    composed with the sort-based layout pass. Same byte contract as
+    _sharded_emit_bulk; osz[:, 2] != 0 rows take the host fallback."""
+    from ..kernels import encode_flat as EFL
+
+    spec = P(mesh_mod.BLOCK_AXIS)
+    interp = jax.default_backend() == "cpu"
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec),
+                       out_specs=(spec, spec), check_vma=False)
+    def run(batch_u8, cand, meta):
+        B = batch_u8.shape[0]
+        x = batch_u8.reshape(B, -1, 4).astype(jnp.int32)
+        w = (x[..., 0] | (x[..., 1] << 8) | (x[..., 2] << 16)
+             | (x[..., 3] << 24))
+        rows = BLOCK_SZ // (128 * 4)
+        w = jnp.pad(w.reshape(B, rows, 128),
+                    ((0, 0), (0, EE.IN_ROWS - rows), (0, 0)))
+        c = jnp.pad(cand, ((0, 0), (0, EE.CAND_ROWS * 128 - BLOCK_SZ)),
+                    constant_values=-1).reshape(B, EE.CAND_ROWS, 128)
+        return EFL.flat_emit_batch(w, c, meta, ext=ext, nblk=nblk,
+                                   interpret=interp)
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_emit_flat_dict(mesh: Mesh, ext: bool, nblk: int):
+    """Dictionary variant of the flat emission: input is
+    concat(replicated dict, block); meta carries the block's base."""
+    from ..kernels import encode_flat as EFL
+
+    spec = P(mesh_mod.BLOCK_AXIS)
+    interp = jax.default_backend() == "cpu"
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), spec, spec, spec),
+                       out_specs=(spec, spec), check_vma=False)
+    def run(dict_u8, batch_u8, cand, meta):
+        B = batch_u8.shape[0]
+        dl = dict_u8.shape[0]
+        concat = jnp.concatenate(
+            [jnp.broadcast_to(dict_u8, (B, dl)), batch_u8], axis=1)
+        total = EE.IN_ROWS * 128 * 4
+        concat = jnp.pad(concat, ((0, 0), (0, total - concat.shape[1])))
+        x = concat.reshape(B, -1, 4).astype(jnp.int32)
+        w = (x[..., 0] | (x[..., 1] << 8) | (x[..., 2] << 16)
+             | (x[..., 3] << 24)).reshape(B, EE.IN_ROWS, 128)
+        c = jnp.pad(cand,
+                    ((0, 0), (0, EE.CAND_ROWS * 128 - cand.shape[1])),
+                    constant_values=-1).reshape(B, EE.CAND_ROWS, 128)
+        return EFL.flat_emit_batch(w, c, meta, ext=ext, nblk=nblk,
+                                   interpret=interp)
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
 def _sharded_emit0(mesh: Mesh, ext: bool):
     """Level-0 device emission: the upstream's exact hash-table parse runs
     ENTIRELY in the kernel (matcher='table') — no phase-A candidates at
@@ -1243,8 +1306,9 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
     context is broadcast (replicated) across the mesh and every block's
     search runs over concat(dict, block).
 
-    ``emit_impl`` picks the on-chip level-1 emitter: 'bulk' (default,
-    two-pass decide+assemble, kernels/encode_bulk) or 'scan' (single-pass
+    ``emit_impl`` picks the on-chip level-1 emitter: 'flat' (gang decide
+    kernel + sort-based layout pass, kernels/encode_flat), 'bulk'
+    (two-pass decide+assemble, kernels/encode_bulk) or 'scan' (single-pass
     scalar kernel, kernels/encode_emit); level 0 always uses the in-kernel
     hash-table scan (the upstream's exact byte contract needs it).
     """
@@ -1294,12 +1358,19 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
             for b, blk in enumerate(win):
                 meta[b, 0] = len(blk)
                 meta[b, 1] = dlen
+            flat = emit_impl == "flat" and level == 1
             bulk = emit_impl == "bulk" and level == 1
+            # flat's gang decide interleaves nblk chains per grid step and
+            # needs the per-shard batch divisible by the group size
+            nblk = 2 if flat and (B // n_dev) % 2 == 0 else 1
             cands = None
             if dictionary is not None:
                 cands = _sharded_candidates_dict(mesh)(dict_dev, dev_batch)
-                emitter = (_sharded_emit_bulk_dict if bulk
-                           else _sharded_emit_dict)(mesh, ext)
+                if flat:
+                    emitter = _sharded_emit_flat_dict(mesh, ext, nblk)
+                else:
+                    emitter = (_sharded_emit_bulk_dict if bulk
+                               else _sharded_emit_dict)(mesh, ext)
                 words, osz = emitter(dict_dev, dev_batch, cands,
                                      _device_put(meta, sharding))
             elif level == 0:
@@ -1308,8 +1379,11 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
                     dev_batch, _device_put(meta, sharding))
             else:
                 cands = _sharded_candidates(mesh)(dev_batch)
-                emitter = (_sharded_emit_bulk if bulk
-                           else _sharded_emit)(mesh, ext)
+                if flat:
+                    emitter = _sharded_emit_flat(mesh, ext, nblk)
+                else:
+                    emitter = (_sharded_emit_bulk if bulk
+                               else _sharded_emit)(mesh, ext)
                 words, osz = emitter(dev_batch, cands,
                                      _device_put(meta, sharding))
             osz_host = _to_host(osz)
@@ -1318,12 +1392,12 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
             # this is the bulk cross-DCN traffic on multi-host meshes)
             max_psz = int(osz_host[:len(win), 0].max())
             max_rows = -(-(max_psz + 16) // 512)
-            cap_rows = EB.OUT_ROWS_BULK if bulk else EE.OUT_ROWS
+            cap_rows = EB.OUT_ROWS_BULK if (bulk or flat) else EE.OUT_ROWS
             max_rows = max(8, min(cap_rows, -(-max_rows // 8) * 8))
             words_host = _to_host(words[:, :max_rows])
             for b in range(len(win)):
                 psz = int(osz_host[b, 0])
-                if bulk and int(osz_host[b, 2]) != 0:
+                if (bulk or flat) and int(osz_host[b, 2]) != 0:
                     # record/side-plane overflow (pathological symbol
                     # mix): host emission from the device candidates
                     cand_row = _to_host(cands[b])
