@@ -260,3 +260,57 @@ def test_emit_table_compiled(tpu):
     # single-block container: 16-byte TSQ1 header + 3-byte block header
     want = native.compress(data, True, level=0)[19:]
     assert payload == want
+
+
+def test_tsqx_roundtrip_compiled(tpu):
+    """TSQX pack -> Mosaic gang decode -> original bytes on real TPU."""
+    from turbosqueeze_tpu import tsqx
+    from turbosqueeze_tpu.runtime import native
+    from turbosqueeze_tpu.utils.corpus import synthetic_text
+
+    if not native.available():
+        pytest.skip("native core not built")
+    data = synthetic_text((1 << 22) + 99_000, seed=61)  # 2 blocks
+    packed = tsqx.pack(native.compress(data, True), nblk=2)
+    assert tsqx.decompress(packed) == data
+
+
+def test_transfer_degradation_reproducer(tpu):
+    """Documents (does not fail on) this runtime's post-Pallas transfer
+    collapse: the FIRST Mosaic program execution in a process drops
+    host->device transfers from ~1.5 GB/s to ~45 MB/s permanently
+    (BASELINE.md round-5 memo — the root cause behind the round-3/4
+    e2e numbers and part of the session variance). Plain XLA programs do
+    not trigger it. If this test ever reports no degradation, the
+    runtime fixed it: delete the memo and re-baseline e2e.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def rate():
+        rng = np.random.default_rng(5)
+        best = float("inf")
+        for _ in range(3):
+            x = rng.integers(0, 2 ** 31, (32 << 20) // 4, dtype=np.int32)
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(x))
+            best = min(best, time.perf_counter() - t0)
+        return (32 << 20) / best / 1e6
+
+    pre = rate()
+    # any Mosaic program triggers it — the smallest possible one
+    def kern(o_ref):
+        o_ref[0] = 1
+        for k in range(1, 8):
+            o_ref[k] = 0
+
+    jax.block_until_ready(jax.jit(lambda: pl.pallas_call(
+        kern,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((8,), jnp.int32))())())
+    post = rate()
+    print(f"h2d pre-Pallas {pre:.0f} MB/s, post-Pallas {post:.0f} MB/s")

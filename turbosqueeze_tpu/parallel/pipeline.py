@@ -1109,6 +1109,18 @@ def decompress(stream: bytes, mesh: Optional[Mesh] = None,
             r = _bulk_window_words(stream, win, mesh, cosched, dictionary)
             cur = (win, r if r is not None else _decode_window_stream(
                 stream, win, mesh, dictionary))
+            if r is not None and jax.process_count() == 1:
+                # enqueue this window's device->host copy NOW: it runs
+                # behind the (async-dispatched) kernel while the NEXT
+                # window's host resolve proceeds, so resolve, kernel and
+                # d2h all overlap; drain()'s np.asarray then finds the
+                # host buffer already (being) filled. This is the stage
+                # overlap the upstream triple-buffered rings bought
+                # (tsq_context.cpp:101-102).
+                try:
+                    r[0].copy_to_host_async()
+                except AttributeError:
+                    pass
             if pending is not None:
                 drain(pending)
             pending = cur

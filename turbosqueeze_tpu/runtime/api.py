@@ -83,7 +83,16 @@ def compress(data: bytes, ext: bool = True, backend: str = "auto",
 
 def decompress(stream: bytes, backend: str = "auto",
                dictionary: bytes = None, progress=None) -> bytes:
-    """Decompress a .tsq container back to the original bytes."""
+    """Decompress a .tsq (or TSQX serving-profile) container."""
+    if len(stream) >= 4 and stream[:4] == b"TSQX":
+        # TSQX: pre-resolved gang planes (framework serving profile);
+        # decodes on the device mesh with zero host resolution
+        from .. import tsqx
+
+        if dictionary is not None:
+            raise FormatError("TSQX containers embed their context; "
+                              "dictionary does not apply")
+        return tsqx.decompress(stream)
     if len(stream) < 16 or stream[:4] != b"TSQ1":
         raise FormatError("not a TSQ1 stream")
     b = _resolve(backend)
