@@ -768,7 +768,7 @@ def main():
                         "scalar chain)")
                 except Exception as e:
                     log(f"tpu calibration failed: {e}")
-                for kernel in ("gang6.4", "gang4.4.16", "gang2.4.16",
+                for kernel in ("gang6.4.16", "gang6.4", "gang4.4.16",
                                "bulk2", "stream"):
                     try:
                         tpu[kernel], resid[kernel] = bench_tpu_kernel(

@@ -680,9 +680,11 @@ GANG_UNROLL = 4
 # records per gang slot by co-schedule width (one-session A/B, v5e):
 # at nblk<=4 the 16-record slots' halved per-gang fixed costs win
 # (nblk=2: 868 vs 593 MB/s/chip — the rung VMEM-capped corpora actually
-# run; nblk=4: 1000 vs 930); at nblk=6 the wider tiles spill (956 vs
-# 1077), so the widest rung keeps 8-record slots
-GANG_SRECS = {1: 8, 2: 16, 3: 16, 4: 16, 6: 8}
+# run; nblk=4: 1000 vs 930). nblk=6: r4 measured 8-slots ahead (1077 vs
+# 956) but r5 — after the 32-word gmeta ABI fix — measured 16-slots
+# ahead (1074 vs 1001, the round's best rung); bench.py times both and
+# headlines the winner, production keeps 16.
+GANG_SRECS = {1: 8, 2: 16, 3: 16, 4: 16, 6: 16}
 
 
 def _bulk_window_words(stream, table_window, mesh: Mesh,
