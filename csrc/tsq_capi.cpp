@@ -120,8 +120,10 @@ int64_t tsq_encode_block_candidates(const uint8_t* in_padded,
 }
 
 int64_t tsq_encode_block_lazy(const uint8_t* in_padded, uint32_t in_size,
-                              const int32_t* cand, uint8_t* out, int ext) {
-  return tsq::encode_block_lazy(in_padded, in_size, cand, out, ext != 0);
+                              const int32_t* cand, uint8_t* out, int ext,
+                              uint32_t level) {
+  return tsq::encode_block_lazy(in_padded, in_size, cand, out, ext != 0,
+                                level);
 }
 
 int64_t tsq_decode_block(const uint8_t* in_padded, uint64_t in_size,

@@ -374,11 +374,11 @@ inline uint32_t extend_match(const uint8_t* in, uint32_t i, uint32_t pos,
 template <bool kExt>
 inline uint32_t best_in_chain(const uint8_t* in, const int32_t* cand,
                               uint32_t i, uint32_t anchor,
-                              uint32_t* best_pos) {
+                              uint32_t* best_pos, int max_steps = 16) {
   int32_t p = cand[i];
   while (p >= 0 && (uint32_t)p + 4 > anchor) p = cand[p];  // skip unusable
   uint32_t best_k = 0;
-  for (int steps = 0; p >= 0 && steps < 16; ++steps, p = cand[p]) {
+  for (int steps = 0; p >= 0 && steps < max_steps; ++steps, p = cand[p]) {
     if (anchor - (uint32_t)p > 65534) break;  // chain only gets farther
     uint32_t k = extend_match<kExt>(in, i, (uint32_t)p, anchor);
     if (k > best_k) {
@@ -390,15 +390,37 @@ inline uint32_t best_in_chain(const uint8_t* in, const int32_t* cand,
   return best_k;
 }
 
+// Post-flush anchor prediction: what TokenSink::anchor will be after
+// literals(from, upto) runs — simulates the same 16-byte split and the
+// even-symbol anchor updates without emitting anything. Lets the lazy
+// parse walk each candidate chain ONCE under the exact anchor instead
+// of an optimistic prefilter walk plus a post-flush re-walk (the
+// round-4 structure cost two full chain walks per emitted match —
+// measured 33 MB/s; the single-walk form measures ~2x that).
+inline uint32_t predict_anchor(uint32_t n_sym, uint32_t anchor,
+                               uint32_t from, uint32_t upto) {
+  while (upto - from > 0) {
+    uint32_t run = upto - from > 16 ? 16 : upto - from;
+    from += run;
+    if ((++n_sym & 1) == 0) anchor = from;
+  }
+  return anchor;
+}
+
 // Lazy one-step-deferred parse over best-of-chain matches (compression
 // level >= 2, a live knob where the upstream's `level` is plumbed but dead
 // — SURVEY.md §5): before emitting a match at i, peek i+1; when the next
 // position holds a sufficiently longer match, emit one literal instead and
 // take the longer match. Same bitstream format, smaller output than the
 // greedy candidate parse.
+// `max_steps` is the chain-walk effort dial mapped from the compression
+// level (2 -> 16, 3 -> 8, >= 4 -> 4): the r5 sweep on 32 MiB level-0
+// text measured 42/62/89 MB/s at ratios 34.17/36.56/38.87% — all the
+// same format, all decodable by the upstream binary.
 template <bool kExt>
 uint32_t encode_lazy_impl(const uint8_t* in, uint32_t base, uint32_t size,
-                          const int32_t* cand, uint8_t* out) {
+                          const int32_t* cand, uint8_t* out,
+                          int max_steps = 16) {
   TokenSink sink(out, size, base);
   const uint32_t end = base + size;
   uint32_t i = base;
@@ -414,35 +436,34 @@ uint32_t encode_lazy_impl(const uint8_t* in, uint32_t base, uint32_t size,
       sink.literals(in, run_start, i);
       run_start = i;
     }
-    // Prefilter under the OPTIMISTIC anchor (= i, an upper bound of the
-    // post-flush anchor): k shrinks monotonically with the anchor, so a
-    // position failing here can never emit. Flushing pending literals for
-    // every raw candidate would fragment runs into thousands of tiny
-    // symbols (measured 2.2x worse on binary data).
-    {
-      uint32_t pos_h;
-      if (best_in_chain<kExt>(in, cand, i, i, &pos_h) < 4) {
-        ++i;
-        continue;
-      }
-    }
-    // A usable match is likely: flush pending literals FIRST so the anchor
-    // (and with it the offset window and the source-before-anchor length
-    // cap) is current — short-offset matches are invisible under a stale
-    // anchor.
-    sink.literals(in, run_start, i);
-    run_start = i;
+    // ONE walk under the EXACT post-flush anchor (predicted — nothing is
+    // emitted yet): the result both filters and emits, and a reject skips
+    // WITHOUT flushing, so literal runs stay coalesced (the round-4
+    // optimistic prefilter flushed first and fragmented runs whenever the
+    // exact walk then failed).
+    const uint32_t anchor_p =
+        predict_anchor(sink.n_sym, sink.anchor, run_start, i);
     uint32_t pos = 0;
-    uint32_t k = best_in_chain<kExt>(in, cand, i, sink.anchor, &pos);
+    uint32_t k = best_in_chain<kExt>(in, cand, i, anchor_p, &pos,
+                                     max_steps);
     if (k < 4) {
       ++i;
       continue;
     }
+    sink.literals(in, run_start, i);
+    run_start = i;
+    // sink.anchor now equals anchor_p (same split simulated), so (k, pos)
+    // is exactly the walk the round-4 code re-ran here.
     // Lazy peek, one-step deferral only (cascading defers convert whole
-    // repeat regions into literals); skip for already-long matches.
-    if (k < 32 && !deferred && i + 1 < end - 5) {
+    // repeat regions into literals). Peek only SHORT matches: deferring
+    // k >= 12 measured both slower (extra walk per match) and very
+    // slightly larger output than emitting greedily (r5 sweep:
+    // threshold 32 -> 42 MB/s at 34.168%, threshold 12 -> 56 MB/s at
+    // 34.159% on 32 MiB text).
+    if (k < 12 && !deferred && i + 1 < end - 5) {
       uint32_t pos2;
-      if (best_in_chain<kExt>(in, cand, i + 1, sink.anchor, &pos2) > k + 1) {
+      if (best_in_chain<kExt>(in, cand, i + 1, sink.anchor, &pos2,
+                              max_steps) > k + 1) {
         ++i;  // defer: the next position matches longer
         deferred = true;
         continue;
@@ -468,19 +489,27 @@ uint32_t encode_block_candidates(const uint8_t* in, uint32_t in_size,
              : encode_candidates_impl<false>(in, 0, in_size, cand, out);
 }
 
+static inline int lazy_steps(uint32_t level) {
+  return level >= 4 ? 4 : level == 3 ? 8 : 16;
+}
+
 uint32_t encode_block_lazy(const uint8_t* in, uint32_t in_size,
-                           const int32_t* cand, uint8_t* out, bool ext) {
-  return ext ? encode_lazy_impl<true>(in, 0, in_size, cand, out)
-             : encode_lazy_impl<false>(in, 0, in_size, cand, out);
+                           const int32_t* cand, uint8_t* out, bool ext,
+                           uint32_t level) {
+  const int steps = lazy_steps(level);
+  return ext ? encode_lazy_impl<true>(in, 0, in_size, cand, out, steps)
+             : encode_lazy_impl<false>(in, 0, in_size, cand, out, steps);
 }
 
 uint32_t encode_block_dict(const uint8_t* concat, uint32_t dict_len,
                            uint32_t in_size, const int32_t* cand,
                            uint8_t* out, bool ext, uint32_t level) {
   if (level >= 2) {
-    return ext ? encode_lazy_impl<true>(concat, dict_len, in_size, cand, out)
+    const int steps = lazy_steps(level);
+    return ext ? encode_lazy_impl<true>(concat, dict_len, in_size, cand,
+                                        out, steps)
                : encode_lazy_impl<false>(concat, dict_len, in_size, cand,
-                                         out);
+                                         out, steps);
   }
   return ext
              ? encode_candidates_impl<true>(concat, dict_len, in_size, cand,

@@ -126,8 +126,11 @@ uint32_t encode_block_candidates(const uint8_t* in, uint32_t in_size,
 
 // Lazy one-step-deferred candidate parse (compression level >= 2): peeks
 // the next position before committing a match. Same format, better ratio.
+// `level` is the chain-walk effort dial: 2 = full 16-step walks (best
+// ratio), 3 = 8 steps, >= 4 = 4 steps (faster, a bit larger).
 uint32_t encode_block_lazy(const uint8_t* in, uint32_t in_size,
-                           const int32_t* cand, uint8_t* out, bool ext);
+                           const int32_t* cand, uint8_t* out, bool ext,
+                           uint32_t level = 2);
 
 // --- Preset dictionary (framework extension) ---------------------------------
 //

@@ -85,7 +85,8 @@ struct EncodeScratch {
     if (cand.empty()) cand.resize(kBlockSize);
     build_candidates(in.data(), bsz, cand.data());
     if (level >= 2)
-      return encode_block_lazy(in.data(), bsz, cand.data(), dst, ext);
+      return encode_block_lazy(in.data(), bsz, cand.data(), dst, ext,
+                               level);
     return encode_block_candidates(in.data(), bsz, cand.data(), dst, ext);
   }
 };

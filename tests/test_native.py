@@ -112,6 +112,26 @@ def test_level2_lazy_parse(native, golden_harness, tmp_path):
         assert fout.read_bytes() == data
 
 
+def test_level34_effort_dial(native, golden_harness, tmp_path):
+    """Levels 3/4 cap the lazy chain walk at 8/4 entries: same format
+    (upstream binary decodes them), exact roundtrip, ratio between the
+    full lazy parse and the greedy candidate parse."""
+    data = synthetic_text((1 << 22) + 9_000, seed=73)
+    s1 = native.compress(data, True, level=1)
+    s2 = native.compress(data, True, level=2)
+    s3 = native.compress(data, True, level=3)
+    s4 = native.compress(data, True, level=4)
+    for s in (s3, s4):
+        assert native.decompress(s) == data
+    assert len(s2) <= len(s3) <= len(s4) <= len(s1)
+    ftsq = tmp_path / "l3.tsq"
+    fout = tmp_path / "l3.out"
+    ftsq.write_bytes(s3)
+    subprocess.run([str(golden_harness), "d", str(ftsq), str(fout)],
+                   check=True)
+    assert fout.read_bytes() == data
+
+
 def test_level2_pathological_inputs(native):
     """Lazy parse on adversarial shapes: runs, tiny blocks, incompressible."""
     cases = [b"", b"a", b"\x00" * 100_000, bytes(range(256)) * 4,

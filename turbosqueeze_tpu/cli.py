@@ -218,8 +218,10 @@ def main(argv=None) -> int:
     pc.add_argument("output")
     pc.add_argument("--no-ext", action="store_true")
     pc.add_argument("--level", type=int, default=0,
-                    help="0 = upstream-parity parse; >=1 = candidate parse "
-                         "(better ratio)")
+                    help="0 = upstream-parity parse; 1 = exact candidate "
+                         "parse; 2 = lazy best-of-chain (best ratio); "
+                         "3/4 = lazy with capped chain walks (faster, "
+                         "slightly larger)")
     pc.add_argument("--dict", help="preset dictionary file (<=64 KiB; "
                                    "framework extension)")
     pc.set_defaults(fn=cmd_compress)

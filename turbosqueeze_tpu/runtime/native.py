@@ -160,7 +160,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tsq_encode_block_lazy.restype = ctypes.c_int64
     lib.tsq_encode_block_lazy.argtypes = [
         ctypes.c_char_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_int]
+        ctypes.c_int, ctypes.c_uint32]
     lib.tsq_compress_mt_dict.restype = ctypes.c_int64
     lib.tsq_compress_mt_dict.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint32,
@@ -295,11 +295,14 @@ def encode_block_candidates(block: bytes, cand, ext: bool,
     if len(cand) != len(block):
         raise ValueError("candidate array length must equal block length")
     out = np.empty((1 << 22) + (1 << 20) + 64, dtype=np.uint8)
-    fn = (lib.tsq_encode_block_lazy if level >= 2
-          else lib.tsq_encode_block_candidates)
-    psz = fn(
-        block + bytes(80), len(block), cand.ctypes.data, out.ctypes.data,
-        1 if ext else 0)
+    if level >= 2:
+        psz = lib.tsq_encode_block_lazy(
+            block + bytes(80), len(block), cand.ctypes.data,
+            out.ctypes.data, 1 if ext else 0, level)
+    else:
+        psz = lib.tsq_encode_block_candidates(
+            block + bytes(80), len(block), cand.ctypes.data,
+            out.ctypes.data, 1 if ext else 0)
     if psz < 0:
         raise RuntimeError(f"candidate emission failed (code {psz})")
     return out[:psz].tobytes()
