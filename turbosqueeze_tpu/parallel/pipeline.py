@@ -1311,7 +1311,7 @@ def decompress_to_file(stream: bytes, out_path, mesh: Optional[Mesh] = None,
 def compress(data: bytes, ext: bool = True, level: int = 1,
              mesh: Optional[Mesh] = None,
              dictionary: Optional[bytes] = None, progress=None,
-             emit_impl: str = "bulk") -> bytes:
+             emit_impl: str = "scan") -> bytes:
     """Device candidate search + host emission -> .tsq container.
 
     The device path is the candidate parse: ``level`` <= 1 selects the
@@ -1320,11 +1320,13 @@ def compress(data: bytes, ext: bool = True, level: int = 1,
     context is broadcast (replicated) across the mesh and every block's
     search runs over concat(dict, block).
 
-    ``emit_impl`` picks the on-chip level-1 emitter: 'flat' (gang decide
-    kernel + sort-based layout pass, kernels/encode_flat), 'bulk'
-    (two-pass decide+assemble, kernels/encode_bulk) or 'scan' (single-pass
-    scalar kernel, kernels/encode_emit); level 0 always uses the in-kernel
-    hash-table scan (the upstream's exact byte contract needs it).
+    ``emit_impl`` picks the on-chip level-1 emitter: 'scan' (default —
+    single-pass scalar kernel, kernels/encode_emit, the fastest measured
+    composed chain at 27 MB/s/chip), 'bulk' (two-pass decide+assemble,
+    kernels/encode_bulk, 17) or 'flat' (gang decide + sort layout,
+    kernels/encode_flat, ~5 — kept for the record, BASELINE.md r5 memo);
+    level 0 always uses the in-kernel hash-table scan (the upstream's
+    exact byte contract needs it).
     """
     from ..runtime import native
 
