@@ -450,6 +450,10 @@ def bench_tpu_encode(data: bytes, native, emitter: str = "bulk"):
     t0 = time.time()
     batches = ([1, 4, min(8, max(5, n_src))] if nblk == 1
                else [nblk, 2 * nblk, 4 * nblk])
+    if emitter.startswith("flat"):
+        # the sort-layout graph at B >= 4 OOM-kills the Mosaic compile
+        # helper (measured r5); three small points still give a slope
+        batches = [nblk, 2 * nblk, 3 * nblk]
     points = [(sz, t) for B in batches for t, sz in [timed(B)]]
     log(f"tpu[encode]: B={batches} compile+verify+time "
         f"{time.time() - t0:.0f}s")
