@@ -50,8 +50,8 @@ constexpr uint32_t kNullW1 = 0x80000000u;  // FILL byte 0, source row 0
 
 // Cursor over one block's records of one phase (U or W) within one
 // window's entry span [p, end). kRecs records per slot (8 = one record
-// per sublane; 16 halves the kernel's per-gang fixed costs — acc
-// load/store, row read — at slightly higher entry padding).
+// per sublane; 16/32 halve/quarter the kernel's per-gang fixed costs —
+// acc load/store, row read — at slightly higher entry padding).
 struct PhaseCur {
   const uint32_t* rec = nullptr;
   uint32_t p = 0, end = 0;
@@ -117,7 +117,8 @@ int64_t bulk_gang(const uint32_t* const* recs, const uint32_t* const* mas,
                   uint32_t nblk, uint32_t slot_recs, uint32_t* out,
                   uint64_t cap, uint32_t* gmeta) {
   if (nblk == 0 || nblk > kGangMaxBlocks) return kBulkBadArg;
-  if (slot_recs != 8 && slot_recs != 16) return kBulkBadArg;
+  if (slot_recs != 8 && slot_recs != 16 && slot_recs != 32)
+    return kBulkBadArg;
   for (uint32_t i = 0; i < kGangMetaWords; ++i) gmeta[i] = 0;
   uint32_t n_win = 0;
   for (uint32_t k = 0; k < nblk; ++k) {

@@ -81,12 +81,13 @@ def test_unroll_variants(unroll):
     _decode_all(datas, (0, 2), 2, unroll)
 
 
-def test_slot_recs_16():
-    """16-record slots (32-word gangs): same records, half the per-gang
-    fixed costs; must stay bit-exact across mixed corpora."""
+@pytest.mark.parametrize("srecs", [16, 32])
+def test_slot_recs_wide(srecs):
+    """16/32-record slots (32/64-word gangs): same records, half/quarter
+    the per-gang fixed costs; must stay bit-exact across mixed corpora."""
     datas = [synthetic_text(400_000, seed=45), bytes(100_000),
              synthetic_binary(300_000, seed=47)]
-    _decode_all(datas, (0, 2, 1), 2, slot_recs=16)
+    _decode_all(datas, (0, 2, 1), 2, slot_recs=srecs)
 
 
 def test_two_windows_tail_reach():

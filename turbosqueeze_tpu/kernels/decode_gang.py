@@ -246,8 +246,8 @@ def decode_gang_batch(lit_words, gang_words, gmeta, *, nblk, unroll=2,
     rec_rows = gang_words.shape[1]
     if lit_rows % 8 or rec_rows % 8:
         raise ValueError("plane rows must be multiples of 8")
-    if slot_recs not in (8, 16):
-        raise ValueError("slot_recs must be 8 or 16")
+    if slot_recs not in (8, 16, 32):
+        raise ValueError("slot_recs must be 8, 16 or 32")
     kernel = functools.partial(_decode_gang_kernel, nblk=nblk,
                                unroll=unroll, lit_rows=lit_rows,
                                rec_rows=rec_rows, out_rows=out_rows,
