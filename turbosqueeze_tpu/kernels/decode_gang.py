@@ -58,12 +58,19 @@ _REC_SLOTS = 8  # 8 ring slots x (8,128) words
 def _gang_machinery(ring_ref, vring_ref, recs=8):
     laneR = jax.lax.broadcasted_iota(jnp.int32, (recs, LANES), 1)
     rowR = jax.lax.broadcasted_iota(jnp.int32, (recs, LANES), 0)
+    pos0 = laneR * 4  # loop-invariant: byte index of each lane word
 
     def do_gang(q, src_ref, w_ref):
         """One gang at stream word q (2*recs-aligned, never
         row-straddling): load row accumulator, fold `recs` records,
         store the row. recs=16 halves the per-gang fixed costs (acc
-        load/store, scalar row read) at double per-op tile height."""
+        load/store, scalar row read) at double per-op tile height.
+
+        Accumulation is a plain OR: window rows are zeroed before each
+        window's segments (the stream covers every in-size output byte
+        exactly once, so no two records' masked contributions overlap)
+        — this drops the second tree fold over the byte masks and the
+        acc&~mask merge the round-4 kernel paid per gang."""
         rr = (q >> 7) & 63
         lo = q & (LANES - 1)
         row = (ring_ref[rr, lo] >> 19) & 0xFFF
@@ -94,7 +101,6 @@ def _gang_machinery(ring_ref, vring_ref, recs=8):
             | jax.lax.shift_left(g1, 32 - jnp.maximum(omv, 8)))
         isfillv = jax.lax.shift_right_logical(w1v, 31)
         val = jnp.where(isfillv == 1, (w1v & 0xFF) * 0x01010101, val)
-        pos0 = laneR * 4
         # byte-range mask from clamped shift ranges (the round-4 decided
         # variant; see decode_bulk fold8)
         s4 = jnp.clip(offv - pos0, 0, 4)
@@ -102,16 +108,25 @@ def _gang_machinery(ring_ref, vring_ref, recs=8):
         all1 = jnp.int32(-1)
         ms = jnp.where(s4 >= 4, 0, jax.lax.shift_left(all1, 8 * s4))
         me = jnp.where(e4 >= 4, 0, jax.lax.shift_left(all1, 8 * e4))
-        m = ms & ~me
-        cv = val & m
-        mv = m
+        cv = val & (ms & ~me)
         while cv.shape[0] > 1:  # tree-OR fold to one output row
             h = cv.shape[0] // 2
             cv = cv[0:h] | cv[h:]
-            mv = mv[0:h] | mv[h:]
-        w_ref[pl.ds(row, 1), :] = cv | (acc & ~mv)
+        w_ref[pl.ds(row, 1), :] = acc | cv
 
     return do_gang
+
+
+def _zero_window(w_ref):
+    """Zero the 2 MiB window plane before its segments run: OR-accum
+    correctness (every in-size byte is covered exactly once by the
+    stream, so a zeroed base + masked ORs reproduce the old
+    load-mask-merge exactly). ~4k cyc/window vs ~3M to decode it."""
+    def body(r, _):
+        w_ref[pl.ds(r * 8, 8), :] = jnp.zeros((8, LANES), jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, WIN_ROWS // 8, body, 0)
 
 
 def _stage_tail(u_ref, w_ref):
@@ -202,6 +217,11 @@ def _decode_gang_kernel(meta_ref, lit_hbm, rec_hbm, out_hbm, *refs,
                 @pl.when(w + 1 <= n_wins[k])
                 def _(k=k):
                     _stage_tail(uw[2 * k], uw[2 * k + 1])
+
+        for k in range(nblk):  # OR-accum base (see _zero_window)
+            @pl.when(w + 1 <= n_wins[k])
+            def _(k=k):
+                _zero_window(uw[2 * k + 1])
 
         r, waited = segment(r, meta_ref[g, 16 + 2 * w], waited, 0)
         r, waited = segment(r, meta_ref[g, 17 + 2 * w], waited, 1)
